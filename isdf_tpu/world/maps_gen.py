@@ -1,0 +1,180 @@
+"""Procedural obstacle-map generators (point clouds), seeded and reproducible.
+
+Ports the behaviours of the reference's ``globalmap_gene`` node
+(ref src/map_manager/src/globalmap_gene.cpp:26-418): walls, random forests,
+narrow slits, random-block fields, sin planes, roads, spirals, and the named
+map ids 1-11 used by the demos (map3 = three narrow slit walls, map4 = random
+blocks, map5 = single slit, map9 = slit ramp, …).  ``srand``/noise jitter is
+replaced by an explicit seeded Generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _jitter(rng, n):
+    """Reference adds (rand()%10)/250 in x/y and /800 in z."""
+    j = np.empty((n, 3))
+    j[:, 0] = rng.integers(0, 10, n) / 250.0
+    j[:, 1] = rng.integers(0, 10, n) / 250.0
+    j[:, 2] = rng.integers(0, 10, n) / 800.0
+    return j
+
+
+def gene_wall(ox, oy, length, width, height, oz=0.0, res=0.1, rng=None):
+    """Dense voxel-sampled box of points (ref globalmap_gene.cpp:26-63)."""
+    xs = np.arange(ox, ox + length, res)
+    ys = np.arange(oy, oy + width, res)
+    zs = np.arange(oz, oz + height, res)
+    g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    if rng is not None:
+        g = g + _jitter(rng, len(g))
+    return g
+
+
+def gene_sin_plane(ox, oy, cz, ex, ey, t, h, res=0.1, rng=None):
+    xs = np.arange(ox, ex, res)
+    ys = np.arange(oy, ey, res)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    Z = np.maximum(cz + h * np.sin(t * X) + h * np.sin(t * Y), cz)
+    g = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    if rng is not None:
+        g = g + _jitter(rng, len(g))
+    return g
+
+
+def gene_road(start, end, width, res=0.1, rng=None):
+    start, end = np.asarray(start, float), np.asarray(end, float)
+    d = end - start
+    L = np.linalg.norm(d)
+    expand = np.array([-d[1], d[0], 0.0])
+    nrm = np.linalg.norm(expand)
+    expand = expand / (nrm if nrm > 0 else 1.0) * width
+    ts = np.arange(0.0, 1.0 + 1e-9, res / max(L, 1e-9))
+    ks = np.arange(-0.5, 0.5 + 1e-9, res / max(width, 1e-9))
+    P = (
+        start[None, None]
+        + ts[:, None, None] * d[None, None]
+        + ks[None, :, None] * expand[None, None]
+    ).reshape(-1, 3)
+    if rng is not None:
+        P = P + _jitter(rng, len(P))
+    return P
+
+
+def gene_spiral(cx, cy, oz, ez, radius, width, t, res=0.1, rng=None):
+    zs = np.arange(oz, ez, res / (6 * t))
+    ws = np.arange(radius, radius + width, res)
+    phi = t * (zs - oz)
+    X = cx + ws[None, :] * np.sin(phi[:, None])
+    Y = cy + ws[None, :] * np.cos(phi[:, None])
+    Z = np.broadcast_to(zs[:, None], X.shape)
+    g = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    if rng is not None:
+        g = g + _jitter(rng, len(g))
+    return g
+
+
+# --- named demo maps (ids follow globalmap_gene.cpp:405-418) ----------------
+def map3(res=0.1, seed=0):
+    """Three consecutive narrow-slit walls (demo6's map)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(50, 50, 0.2, 0.2, 3.0, oz=15.0, res=res, rng=rng),
+        gene_wall(10.0, 0.0, 2.0, 2.0, 14.0, res=res, rng=rng),
+        gene_wall(10.0, 10.0, 2.0, 2.0, 14.0, res=res, rng=rng),
+        gene_wall(10.0, 2.0, 2.0, 8.0, 3.0, res=res, rng=rng),
+        gene_wall(10.0, 2.0, 2.0, 8.0, 2.0, oz=12.0, res=res, rng=rng),
+        gene_wall(10.0, 5.0, 2.0, 5.0, 5.5, oz=3.0, res=res, rng=rng),
+        gene_wall(10.0, 10.0, 2.0, 40.0, 15.0, res=res, rng=rng),
+        gene_wall(20.0, 0.0, 2.0, 2.0, 14.0, res=res, rng=rng),
+        gene_wall(20.0, 10.0, 2.0, 2.0, 14.0, res=res, rng=rng),
+        gene_wall(20.0, 2.0, 2.0, 8.0, 5.0, res=res, rng=rng),
+        gene_wall(20.0, 2.0, 2.0, 8.0, 0.0, oz=14.0, res=res, rng=rng),
+        gene_wall(20.0, 5.0, 2.0, 5.0, 5.5, oz=5.0, res=res, rng=rng),
+        gene_wall(20.0, 10.0, 2.0, 40.0, 15.0, res=res, rng=rng),
+        gene_wall(10.0, 0.0, 2.0, 50.0, 5.0, oz=13.0, res=res, rng=rng),
+        gene_wall(20.0, 0.0, 2.0, 50.0, 5.0, oz=13.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map4(res=0.1, seed=0, num=250):
+    """Random floating blocks (demo1's map)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+    ]
+    side = 1.5 * res
+    for _ in range(num):
+        x = (rng.integers(0, 450) + 50) / 10
+        y = (rng.integers(0, 450) + 50) / 10
+        z = (rng.integers(0, 250) + 50) / 10
+        parts.append(gene_wall(x, y, side, side, side, oz=z, res=res, rng=rng))
+    return np.concatenate(parts, axis=0)
+
+
+def map5(res=0.1, seed=0):
+    """Single narrow horizontal slit (demo5's map)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+        gene_wall(30, 0, 2.0, 50, 15.0, res=res, rng=rng),
+        gene_wall(30, 0, 2.0, 50, 16.0, oz=18.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map9(res=0.1, seed=0):
+    """Slit ramp of stacked inclined roads (demo5 variant)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+    ]
+    for h in np.arange(-60.0, 30.0, 0.5):
+        if 0.0 < h < 5.5:
+            continue
+        spt = np.array([0.0, 20.0, h])
+        if h < 0:
+            spt = np.array([-h, 20.0, 0.0])
+        ept = spt + np.array([50.0 - spt[0], 0.0, 45.0])
+        parts.append(gene_road(spt, ept, 0.5, res=res, rng=rng))
+    return np.concatenate(parts, axis=0)
+
+
+def map_random_forest(res=0.1, seed=0, trees=20, area=60.0, start=(0.0, 0.0)):
+    """Random pillar forest (map2)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(100, 100, 0.2, 0.2, 3.0, res=res, rng=rng),
+    ]
+    n = 0
+    while n < trees:
+        x = rng.integers(0, 3000) / 50.0
+        y = rng.integers(0, 3000) / 50.0
+        if np.hypot(x - start[0], y - start[1]) < 0.3:
+            continue
+        parts.append(gene_wall(x, y, 5, 5, 20, res=res, rng=rng))
+        n += 1
+    return np.concatenate(parts, axis=0)
+
+
+MAP_GENERATORS = {
+    2: map_random_forest,
+    3: map3,
+    4: map4,
+    5: map5,
+    9: map9,
+}
+
+
+def generate(map_id: int, res: float = 0.1, seed: int = 0) -> np.ndarray:
+    if map_id not in MAP_GENERATORS:
+        raise KeyError(f"map id {map_id} not implemented; have {sorted(MAP_GENERATORS)}")
+    return MAP_GENERATORS[map_id](res=res, seed=seed)
