@@ -41,10 +41,19 @@ _POW = [
 
 
 def beta(s, order: int):
-    """Basis vector β_order(s) with β·c = d^order pos / ds^order, shape (..., 6)."""
+    """Basis vector β_order(s) with β·c = d^order pos / ds^order, shape (..., 6).
+
+    Powers are built by iterated products and a static gather, NOT jnp.power:
+    d/ds s⁰ through jnp.power is 0·s⁻¹ = NaN at s = 0, which every piece's
+    first sample hits.
+    """
     s = jnp.asarray(s)
-    p = jnp.power(s[..., None], _POW[order].astype(s.dtype))
-    return _FACT[order].astype(s.dtype) * p
+    one = jnp.ones_like(s)
+    pows = [one]
+    for _ in range(5):
+        pows.append(pows[-1] * s)
+    P = jnp.stack(pows, axis=-1)                      # (..., 6): s^0..s^5
+    return _FACT[order].astype(s.dtype) * P[..., _POW[order]]
 
 
 class PolyTraj(NamedTuple):

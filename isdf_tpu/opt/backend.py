@@ -1,0 +1,215 @@
+"""Back-end trajectory optimizer: the jit-compiled equivalent of the
+reference's ``TrajOptimizer`` (ref src/planner_algorithm/include/
+planner_algorithm/back_end_optimizer.hpp / .cpp).
+
+Decision variables x = [τ (N) | ξ (3(N−1))] (ref hpp:365-369):
+τ maps to piece times through the diffeomorphism (core/timemap), ξ are the
+interior waypoints.  One cost evaluation (ref costFunctionLmbm, hpp:358-430):
+
+  cost = MINCO jerk energy                        (minco.hpp:530)
+       + ρ Σ T                                    (hpp:418)
+       + Σ_{pieces × samples} node·step·( w_v S(‖v‖²−v²max)
+           + w_ω S(‖ω‖²−ω²max) + w_θ S(acos(cosθ)−θmax) )
+                                                  (addTimeIntPenaltyParallel, hpp:432-554)
+       + Σ_{obstacle points} w_p S₀.₀₁(d_safe − SV(p))
+                                                  (addSaftyPenaOnSweptVolumeParallel, hpp:557-649)
+
+where SV is the swept-volume SDF at the per-point argmin time t*, warm-started
+across outer iterations (``lastTstar``, hpp:59,576-578) and treated as frozen
+in the gradient (envelope theorem — the reference's grad_cost_p_sw does the
+same implicitly).  ALL gradients here are jax.grad through this scalar; the
+reference's 300 lines of hand-chained flatness/quaternion/MINCO adjoints
+(hpp:127-173 getQuatTransD*, flatness.hpp:230 backwardthreadsafe,
+minco.hpp:584 propogateGrad) are deleted.
+
+The OpenMP parallel-for + critical-section accumulation (hpp:453,537,570,638)
+becomes two fixed-shape vmapped reductions inside one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from isdf_tpu.core import minco, timemap
+from isdf_tpu.core import flatness as fl
+from isdf_tpu.core.poly import PolyTraj, beta
+from isdf_tpu.core.smoothing import smoothed_l1
+from isdf_tpu.core.so3 import quat_to_rot
+from isdf_tpu.opt import lbfgs
+from isdf_tpu.sweep.sweep_sdf import sweep_sdf_warm, sdf_at_time
+
+
+class BackendWeights(NamedTuple):
+    rho: float
+    weight_v: float
+    weight_omg: float
+    weight_theta: float
+    weight_p: float
+    vmax: float
+    omgmax: float
+    thetamax: float
+    safety_hor: float
+    smooth_fac: float
+
+    @classmethod
+    def from_config(cls, conf):
+        return cls(
+            rho=conf.rho, weight_v=conf.weight_v, weight_omg=conf.weight_omg,
+            weight_theta=conf.weight_theta, weight_p=conf.weight_p,
+            vmax=conf.vmax, omgmax=conf.omgmax, thetamax=conf.thetamax,
+            safety_hor=conf.safety_hor, smooth_fac=conf.smoothingEps,
+        )
+
+
+def pack(tau, xi):
+    return jnp.concatenate([tau, xi.reshape(-1)])
+
+
+def unpack(x, N: int):
+    return x[:N], x[N:].reshape(N - 1, 3)
+
+
+def build_traj(x, N, head, tail):
+    tau, q = unpack(x, N)
+    T = timemap.tau_to_T(tau)
+    coeffs = minco.solve(q, T, head, tail)
+    return PolyTraj(T, coeffs), T, q
+
+
+# ---------------------------------------------------------------------------
+def integral_penalty(traj: PolyTraj, params: fl.FlatParams, w: BackendWeights,
+                     res: int):
+    """Dynamic-feasibility penalties over pieces × (res+1) samples
+    (ref addTimeIntPenaltyParallel) — vmapped, trapezoid node weights."""
+    N = traj.n_pieces
+    T = traj.durations
+    j = jnp.arange(res + 1)
+    frac = j / res                                     # (res+1,)
+    s = T[:, None] * frac[None, :]                     # (N, res+1) local times
+    c = traj.coeffs                                    # (N, 6, 3)
+
+    def eval_d(order):
+        b = beta(s, order)                             # (N, res+1, 6)
+        return jnp.einsum("nsk,nkd->nsd", b, c)
+
+    vel, acc, jer = eval_d(1), eval_d(2), eval_d(3)
+    quat, omg = fl.forward(vel, acc, jer, params)
+
+    viola_vel = jnp.sum(vel * vel, axis=-1) - w.vmax**2
+    viola_omg = jnp.sum(omg * omg, axis=-1) - w.omgmax**2
+    cos_theta = 1.0 - 2.0 * (quat[..., 1] ** 2 + quat[..., 2] ** 2)
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-9, 1.0 - 1e-9))
+    viola_theta = theta - w.thetamax
+
+    pena = (
+        w.weight_v * smoothed_l1(viola_vel, w.smooth_fac)
+        + w.weight_omg * smoothed_l1(viola_omg, w.smooth_fac)
+        + w.weight_theta * smoothed_l1(viola_theta, w.smooth_fac)
+    )                                                   # (N, res+1)
+    node = jnp.where((j == 0) | (j == res), 0.5, 1.0)   # trapezoid
+    step = T / res                                      # (N,)
+    return jnp.sum(pena * node[None, :] * step[:, None])
+
+
+def swept_penalty(shape, traj: PolyTraj, params: fl.FlatParams,
+                  w: BackendWeights, points, mask, t_warm,
+                  coarse_n: int, refine_rounds: int):
+    """Swept-volume safety penalty over obstacle points
+    (ref addSaftyPenaOnSweptVolumeParallel + grad_cost_p_sw, μ=0.01).
+
+    Returns (cost, new t*). The argmin search is gradient-free; the penalty
+    re-evaluates the SDF at frozen t* differentiably.
+    """
+    _, t_star, _ = sweep_sdf_warm(
+        shape, jax.lax.stop_gradient(traj), params, points, t_warm,
+        coarse_n=coarse_n, refine_rounds=refine_rounds,
+    )
+    sdf = sdf_at_time(shape, traj, params, points, t_star)
+    pena = w.weight_p * smoothed_l1(w.safety_hor - sdf, 0.01)
+    cost = jnp.sum(jnp.where(mask, pena, 0.0))
+    return cost, t_star
+
+
+class CostBreakdown(NamedTuple):
+    total: jax.Array
+    energy: jax.Array
+    time: jax.Array
+    dyn: jax.Array
+    safety: jax.Array
+
+
+def make_cost_fn(shape, params: fl.FlatParams, w: BackendWeights,
+                 head, tail, N: int, points, mask,
+                 integral_res: int = 64, coarse_n: int = 64,
+                 refine_rounds: int = 16, with_breakdown: bool = False):
+    """Build cost_and_grad(x, aux) for opt.lbfgs / opt.lmbm.
+
+    aux = t* warm starts (P,) threaded across outer iterations.
+    """
+
+    def raw_cost(x, t_warm):
+        traj, T, q = build_traj(x, N, head, tail)
+        e = minco.energy(traj.coeffs, T)
+        t_cost = w.rho * jnp.sum(T)
+        dyn = integral_penalty(traj, params, w, integral_res)
+        safety, t_star = swept_penalty(
+            shape, traj, params, w, points, mask, t_warm,
+            coarse_n, refine_rounds,
+        )
+        total = e + t_cost + dyn + safety
+        bd = CostBreakdown(total, e, t_cost, dyn, safety)
+        return total, (t_star, bd)
+
+    def cost_and_grad(x, aux):
+        (f, (t_star, bd)), g = jax.value_and_grad(raw_cost, has_aux=True)(
+            x, aux
+        )
+        return f, g, t_star
+
+    if with_breakdown:
+        return cost_and_grad, raw_cost
+    return cost_and_grad
+
+
+def optimize(
+    shape,
+    conf,
+    head,
+    tail,
+    q0,
+    T0,
+    points,
+    mask,
+    t_warm0=None,
+    max_iters: Optional[int] = None,
+):
+    """Full back-end solve (ref optimize_traj_lmbm, back_end_optimizer.cpp:99).
+
+    Returns (PolyTraj, LBFGSResult).
+    """
+    N = T0.shape[0]
+    params = fl.FlatParams.from_config(conf)
+    w = BackendWeights.from_config(conf)
+    x0 = pack(timemap.T_to_tau(T0), q0)
+    if t_warm0 is None:
+        t_warm0 = jnp.zeros(points.shape[0], x0.dtype)
+    cost_and_grad = make_cost_fn(
+        shape, params, w, head, tail, N, points, mask,
+        integral_res=conf.integralIntervs,
+        coarse_n=conf.sweep_coarse_samples,
+        refine_rounds=conf.sweep_refine_rounds,
+    )
+    res = lbfgs.minimize(
+        cost_and_grad, x0, t_warm0,
+        m=conf.mem_size,
+        max_iters=max_iters if max_iters is not None else conf.max_iterations,
+        g_epsilon=max(conf.g_epsilon, 1e-7),
+        past=conf.past,
+        rel_cost_tol=conf.relCostTol,
+    )
+    traj, _, _ = build_traj(res.x, N, head, tail)
+    return traj, res

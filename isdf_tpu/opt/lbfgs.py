@@ -1,0 +1,210 @@
+"""Jit-compiled L-BFGS with Lewis–Overton weak-Wolfe line search.
+
+Replaces the reference's LBFGS-Lite (ref src/utils/include/utils/lbfgs.hpp:
+290 line_search_lewisoverton, 480 lbfgs_optimize) — the mid-end solver — and
+doubles as the smoothed back-end outer loop (the reference declared an L-BFGS
+back end as interchangeable with LMBM, back_end_optimizer.hpp:730).  The
+nonsmooth LMBM outer loop lives in opt/lmbm.py.
+
+Design: the entire optimization is one ``lax.while_loop`` under jit —
+history ring buffers are fixed (m, n) arrays, the line search is a nested
+bounded ``lax.while_loop``, and an opaque ``aux`` pytree threads through the
+cost callback across iterations (carries the swept-SDF t* warm starts, the
+reference's ``lastTstar`` pattern).  vmap-able across scenario batches.
+
+cost_and_grad signature:  (x, aux) -> (f, g, new_aux).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSResult(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    n_iters: jax.Array
+    n_evals: jax.Array
+    converged: jax.Array
+    aux: Any
+    history: Any  # (max_iters,) cost trace (observability; NaN-padded)
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    aux: Any
+    S: jax.Array           # (m, n) s history
+    Y: jax.Array           # (m, n) y history
+    rho: jax.Array         # (m,)
+    n_corr: jax.Array      # number of valid corrections
+    head: jax.Array        # ring-buffer head
+    it: jax.Array
+    evals: jax.Array
+    done: jax.Array
+    fpast: jax.Array       # (past,) rolling costs
+    trace: jax.Array
+
+
+def _two_loop(g, S, Y, rho, n_corr, head, m):
+    """Two-loop recursion over a ring buffer (most recent = head−1)."""
+    q = g
+    alphas = jnp.zeros((m,), g.dtype)
+
+    def bwd(i, carry):
+        q, alphas = carry
+        slot = (head - 1 - i) % m
+        valid = i < n_corr
+        a = rho[slot] * jnp.dot(S[slot], q)
+        a = jnp.where(valid, a, 0.0)
+        q = q - a * Y[slot]
+        return q, alphas.at[slot].set(a)
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd, (q, alphas))
+
+    # initial Hessian scaling γ = s·y / y·y of the most recent pair
+    last = (head - 1) % m
+    yy = jnp.dot(Y[last], Y[last])
+    sy = jnp.dot(S[last], Y[last])
+    gamma = jnp.where(n_corr > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+    r = gamma * q
+
+    def fwd(i, r):
+        slot = (head - n_corr + i) % m
+        valid = i < n_corr
+        b = rho[slot] * jnp.dot(Y[slot], r)
+        upd = S[slot] * (alphas[slot] - b)
+        return r + jnp.where(valid, upd, 0.0)
+
+    r = jax.lax.fori_loop(0, m, fwd, r)
+    return r
+
+
+def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9):
+    """Lewis–Overton bisection line search for weak Wolfe conditions
+    (armijo + weak curvature), robust on nonsmooth objectives
+    (ref lbfgs.hpp:290)."""
+    dg0 = jnp.dot(g0, d)
+    big = jnp.asarray(jnp.inf, f0.dtype)
+
+    def cond(c):
+        step, lo, hi, f, g, aux2, k, ok, evals = c
+        return (~ok) & (k < max_ls)
+
+    def body(c):
+        step, lo, hi, f, g, aux2, k, ok, evals = c
+        xt = x + step * d
+        ft, gt, auxt = cost_and_grad(xt, aux2)
+        evals = evals + 1
+        armijo = ft <= f0 + c1 * step * dg0
+        curv = jnp.dot(gt, d) >= c2 * dg0
+        ok_new = armijo & curv
+        hi_new = jnp.where(armijo, hi, step)
+        lo_new = jnp.where(armijo & ~curv, step, lo)
+        step_new = jnp.where(
+            ok_new,
+            step,
+            jnp.where(
+                jnp.isfinite(hi_new),
+                0.5 * (lo_new + hi_new),
+                2.0 * jnp.maximum(step, lo_new),
+            ),
+        )
+        return (step_new, lo_new, hi_new, ft, gt, auxt, k + 1, ok_new, evals)
+
+    init = (
+        jnp.asarray(1.0, f0.dtype), jnp.asarray(0.0, f0.dtype), big,
+        f0, g0, aux, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    step, lo, hi, f, g, aux2, k, ok, evals = jax.lax.while_loop(cond, body, init)
+    # if the search failed entirely keep the last trial point anyway when it
+    # decreased f; else signal failure with step = 0
+    improved = f < f0
+    return (
+        jnp.where(improved, step, 0.0),
+        jnp.where(improved, f, f0),
+        jax.tree.map(lambda a, b: jnp.where(improved, a, b), g, g0),
+        jax.tree.map(
+            lambda a, b: jnp.where(improved, a, b), aux2, aux
+        ),
+        ok | improved,
+        evals,
+    )
+
+
+def minimize(
+    cost_and_grad: Callable,
+    x0,
+    aux0=None,
+    m: int = 16,
+    max_iters: int = 300,
+    g_epsilon: float = 1e-6,
+    past: int = 10,
+    rel_cost_tol: float = 1e-8,
+    max_ls: int = 24,
+) -> LBFGSResult:
+    """Run L-BFGS; fully jit-compatible (call under jit / vmap)."""
+    n = x0.shape[0]
+    dtype = x0.dtype
+    f0, g0, aux1 = cost_and_grad(x0, aux0)
+    fpast = jnp.full((past,), jnp.inf, dtype).at[0].set(f0)
+    trace = jnp.full((max_iters,), jnp.nan, dtype)
+
+    st = _State(
+        x=x0, f=f0, g=g0, aux=aux1,
+        S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
+        rho=jnp.zeros((m,), dtype),
+        n_corr=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
+        it=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
+        done=jnp.asarray(False), fpast=fpast, trace=trace,
+    )
+
+    def cond(st: _State):
+        return (~st.done) & (st.it < max_iters)
+
+    def body(st: _State):
+        d = -_two_loop(st.g, st.S, st.Y, st.rho, st.n_corr, st.head, m)
+        # ensure descent; fall back to -g
+        dg = jnp.dot(d, st.g)
+        d = jnp.where(dg < 0, d, -st.g)
+        step, f, g, aux, ok, ls_evals = _line_search(
+            cost_and_grad, st.x, st.f, st.g, d, st.aux, max_ls
+        )
+        x_new = st.x + step * d
+        s = x_new - st.x
+        y = g - st.g
+        sy = jnp.dot(s, y)
+        good = ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y))
+        S = jnp.where(good, st.S.at[st.head].set(s), st.S)
+        Y = jnp.where(good, st.Y.at[st.head].set(y), st.Y)
+        rho = jnp.where(good, st.rho.at[st.head].set(1.0 / sy), st.rho)
+        head = jnp.where(good, (st.head + 1) % m, st.head)
+        n_corr = jnp.where(good, jnp.minimum(st.n_corr + 1, m), st.n_corr)
+
+        gnorm = jnp.linalg.norm(g) / jnp.maximum(jnp.linalg.norm(x_new), 1.0)
+        conv_g = gnorm < g_epsilon
+        f_old = st.fpast[st.it % past]
+        conv_f = (st.it >= past) & (
+            (f_old - f) / jnp.maximum(jnp.abs(f), 1.0) < rel_cost_tol
+        )
+        done = conv_g | conv_f | (~ok)
+        return _State(
+            x=x_new, f=f, g=g, aux=aux, S=S, Y=Y, rho=rho,
+            n_corr=n_corr, head=head, it=st.it + 1,
+            evals=st.evals + ls_evals, done=done,
+            fpast=st.fpast.at[(st.it + 1) % past].set(f),
+            trace=st.trace.at[st.it].set(f),
+        )
+
+    st = jax.lax.while_loop(cond, body, st)
+    return LBFGSResult(
+        x=st.x, f=st.f, g=st.g, n_iters=st.it, n_evals=st.evals,
+        converged=st.done, aux=st.aux, history=st.trace,
+    )

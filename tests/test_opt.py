@@ -1,0 +1,157 @@
+"""Optimizer tests: L-BFGS on standard problems, mid-end waypoint fitting,
+back-end cost gradients vs finite differences, and a small end-to-end solve
+that must push the trajectory out of collision."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isdf_tpu.config import Config
+from isdf_tpu.core import minco, timemap
+from isdf_tpu.core import flatness as fl
+from isdf_tpu.opt import lbfgs, midend, backend
+from isdf_tpu.shapes import make_shape
+
+
+class TestLBFGS:
+    def test_rosenbrock(self):
+        def cg(x, aux):
+            f = lambda x: jnp.sum(
+                100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2
+            )
+            v, g = jax.value_and_grad(f)(x)
+            return v, g, aux
+
+        x0 = jnp.zeros(8)
+        res = lbfgs.minimize(cg, x0, None, max_iters=500)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+        assert float(res.f) < 1e-10
+
+    def test_quadratic_jit_vmap(self):
+        A = jnp.diag(jnp.array([1.0, 10.0, 100.0]))
+
+        def cg(x, aux):
+            f = lambda x: 0.5 * x @ A @ x
+            v, g = jax.value_and_grad(f)(x)
+            return v, g, aux
+
+        solve = jax.jit(lambda x0: lbfgs.minimize(cg, x0, None, max_iters=100).x)
+        xs = jnp.array([[1.0, 1, 1], [2.0, -3, 0.5]])
+        out = jax.vmap(solve)(xs)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_aux_threading(self):
+        """aux must carry the latest value from accepted line-search points."""
+
+        def cg(x, aux):
+            f = jnp.sum(x**2)
+            return f, 2 * x, aux + 1
+
+        res = lbfgs.minimize(cg, jnp.array([3.0, -2.0]), jnp.array(0.0),
+                             max_iters=50)
+        assert float(res.aux) > 0
+
+    def test_nonsmooth_abs(self):
+        def cg(x, aux):
+            f = lambda x: jnp.sum(jnp.abs(x - 0.3))
+            v, g = jax.value_and_grad(f)(x)
+            return v, g, aux
+
+        res = lbfgs.minimize(cg, jnp.array([2.0, -1.0]), None, max_iters=200)
+        np.testing.assert_allclose(np.asarray(res.x), 0.3, atol=1e-3)
+
+
+class TestMidEnd:
+    def test_waypoint_attraction(self):
+        conf = Config(weight_pr=10000.0, rho_mid_end=20.0, integralIntervs=64)
+        head = jnp.zeros((3, 3))
+        tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.array([6.0, 0.0, 2.0]))
+        wps = jnp.array([[2.0, 1.0, 0.5], [4.0, -1.0, 1.5]])
+        T0 = jnp.full(3, 2.5)
+        traj, opt_x, res = midend.get_ori_traj(conf, head, tail, wps, T0)
+        # junction points should sit near the attractors
+        jp = np.asarray(traj.junction_positions())
+        np.testing.assert_allclose(jp[1], np.asarray(wps[0]), atol=0.2)
+        np.testing.assert_allclose(jp[2], np.asarray(wps[1]), atol=0.2)
+        # boundary conditions preserved exactly by MINCO
+        np.testing.assert_allclose(jp[0], 0.0, atol=1e-9)
+        np.testing.assert_allclose(jp[3], [6.0, 0.0, 2.0], atol=1e-9)
+
+
+class TestBackendCost:
+    def setup_method(self):
+        self.conf = Config(
+            integralIntervs=16, sweep_coarse_samples=32, sweep_refine_rounds=10,
+            vmax=3.0, omgmax=3.0, thetamax=1.2, safety_hor=0.4,
+        )
+        self.shape = make_shape("Ball")
+        self.params = fl.FlatParams.from_config(self.conf)
+        self.w = backend.BackendWeights.from_config(self.conf)
+        self.N = 3
+        self.head = jnp.zeros((3, 3))
+        self.tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.array([6.0, 0.0, 1.0]))
+        q0 = jnp.array([[2.0, 0.2, 0.3], [4.0, -0.2, 0.7]])
+        T0 = jnp.full(3, 2.0)
+        self.x0 = backend.pack(timemap.T_to_tau(T0), q0)
+        # a couple of obstacle points near the path
+        self.points = jnp.array([[3.0, 0.5, 0.5], [2.0, -0.5, 0.2], [1e6, 1e6, 1e6]])
+        self.mask = jnp.array([True, True, False])
+
+    def _cg(self):
+        return backend.make_cost_fn(
+            self.shape, self.params, self.w, self.head, self.tail, self.N,
+            self.points, self.mask,
+            integral_res=self.conf.integralIntervs,
+            coarse_n=self.conf.sweep_coarse_samples,
+            refine_rounds=self.conf.sweep_refine_rounds,
+        )
+
+    def test_grad_vs_fd(self):
+        cg = self._cg()
+        t0 = jnp.zeros(3)
+        f, g, t_star = cg(self.x0, t0)
+        assert np.isfinite(float(f)) and np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-5
+        rng = np.random.default_rng(0)
+        for idx in rng.choice(self.x0.shape[0], size=4, replace=False):
+            xp = self.x0.at[idx].add(eps)
+            xm = self.x0.at[idx].add(-eps)
+            # hold t* fixed at the converged value for FD consistency
+            fp, _, _ = cg(xp, t_star)
+            fm, _, _ = cg(xm, t_star)
+            fd = (float(fp) - float(fm)) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=2e-3, atol=2e-4)
+
+    def test_masked_points_ignored(self):
+        cg = self._cg()
+        f1, _, _ = cg(self.x0, jnp.zeros(3))
+        pts2 = self.points.at[2].set(jnp.array([3.0, 0.0, 0.5]))
+        cg2 = backend.make_cost_fn(
+            self.shape, self.params, self.w, self.head, self.tail, self.N,
+            pts2, self.mask,
+            integral_res=self.conf.integralIntervs,
+            coarse_n=self.conf.sweep_coarse_samples,
+            refine_rounds=self.conf.sweep_refine_rounds,
+        )
+        f2, _, _ = cg2(self.x0, jnp.zeros(3))
+        np.testing.assert_allclose(float(f1), float(f2), rtol=1e-9)
+
+    def test_optimize_clears_obstacle(self):
+        """A point sitting on the straight path must end up ≥ safety_hor−ε
+        away from the swept volume after optimization."""
+        conf = self.conf
+        q0 = jnp.array([[2.0, 0.0, 0.5], [4.0, 0.0, 0.5]])
+        T0 = jnp.full(3, 2.0)
+        pts = jnp.array([[3.0, 0.0, 0.5]])
+        mask = jnp.array([True])
+        traj, res = backend.optimize(
+            self.shape, conf, self.head, self.tail, q0, T0, pts, mask,
+            max_iters=60,
+        )
+        from isdf_tpu.sweep import sweep_sdf
+
+        sdf, _, _ = sweep_sdf(self.shape, traj, self.params, pts)
+        assert float(sdf[0]) > conf.safety_hor - 0.1, float(sdf[0])
+        # end conditions hold
+        jp = np.asarray(traj.junction_positions())
+        np.testing.assert_allclose(jp[-1], [6.0, 0.0, 1.0], atol=1e-6)
