@@ -1,0 +1,2 @@
+from isdf_tpu.plan.manager import PlannerManager, PlanResult  # noqa: F401
+from isdf_tpu.plan.traj_server import TrajServer  # noqa: F401

@@ -1,0 +1,173 @@
+"""Planner orchestration — the ``PlannerManager`` equivalent
+(ref src/plan_manager/src/plan_manager.cpp:130 init, 180 generatePath,
+202 generateTraj, 397 mapRcvCallBack).
+
+Pipeline per plan request (ref targetRcvCallBack, plan_manager.cpp:434-488):
+  1. front end: SE(3) A* over the occupancy grid with pose kernels
+  2. waypoint subsample every ~traj_parlength meters (plan_manager.cpp:206)
+  3. obstacle gather: occupied voxels in AABBs around waypoints → static
+     padded ``parallel_points`` (plan_manager.cpp:232-254)
+  4. mid end: MINCO + waypoint attraction fit → warm start opt_x
+  5. back end: jit L-BFGS with swept-volume SDF safety penalty
+  6. emit trajectory + metrics (cost breakdown, timings, sdf-eval counts)
+
+ROS pub/sub is replaced by plain function calls; the debug topic machinery
+(SURVEY.md §5) maps to the metrics dict + observability hooks in
+isdf_tpu/utils/obs.py.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from isdf_tpu.config import Config
+from isdf_tpu.core import flatness as fl
+from isdf_tpu.opt import backend, midend
+from isdf_tpu.search import astar_se3, build_pose_kernels, pose_feasibility
+from isdf_tpu.search.astar import subsample_waypoints
+from isdf_tpu.shapes import Shape, make_shape
+from isdf_tpu.world import GridMap, aabb
+from isdf_tpu.utils.obs import Metrics
+
+
+@dataclass
+class PlanResult:
+    success: bool
+    traj: Any = None                       # PolyTraj
+    path: Optional[np.ndarray] = None      # A* path
+    rolls: Optional[np.ndarray] = None
+    pitches: Optional[np.ndarray] = None
+    metrics: Dict[str, Any] = field(default_factory=dict)
+
+
+class PlannerManager:
+    def __init__(self, conf: Config, shape: Optional[Shape] = None,
+                 shape_name: Optional[str] = None):
+        self.conf = conf
+        if shape is None:
+            shape = make_shape(shape_name or "Ball", conf)
+        self.shape = shape
+        self.params = fl.FlatParams.from_config(conf)
+        self.gridmap: Optional[GridMap] = None
+        self.feasibility = None
+        self.pose_kernels = None
+        self.metrics = Metrics()
+
+    # -- map arrival (ref mapRcvCallBack plan_manager.cpp:397-411) -----------
+    def set_map_points(self, points: np.ndarray, use_pose_kernels: bool = True):
+        t0 = time.perf_counter()
+        gm = GridMap.from_points(
+            points, self.conf.mapBound, self.conf.occupancy_resolution,
+            self.conf.sta_threshold,
+        )
+        self.set_map(gm, use_pose_kernels=use_pose_kernels)
+        self.metrics.log("map_build_s", time.perf_counter() - t0)
+
+    def set_map(self, gm: GridMap, use_pose_kernels: bool = True):
+        self.gridmap = gm
+        if use_pose_kernels:
+            t0 = time.perf_counter()
+            self.pose_kernels = build_pose_kernels(self.shape, self.conf)
+            feas = pose_feasibility(gm.occ, self.pose_kernels.kernels)
+            self.feasibility = np.asarray(feas)
+            self.metrics.log("kernel_build_s", time.perf_counter() - t0)
+
+    # -- full plan (ref targetRcvCallBack) -----------------------------------
+    def plan(self, start, goal, max_iters: Optional[int] = None) -> PlanResult:
+        assert self.gridmap is not None, "call set_map first"
+        conf = self.conf
+        m: Dict[str, Any] = {}
+
+        # 1. front end
+        t0 = time.perf_counter()
+        fr = astar_se3(
+            self.gridmap, np.asarray(start), np.asarray(goal),
+            feasibility=self.feasibility,
+            rolls=None if self.pose_kernels is None else np.asarray(self.pose_kernels.rolls),
+            pitches=None if self.pose_kernels is None else np.asarray(self.pose_kernels.pitches),
+        )
+        m["front_end_s"] = time.perf_counter() - t0
+        m["expanded"] = fr.expanded
+        if not fr.success:
+            return PlanResult(False, metrics=m)
+
+        # 2. subsample waypoints
+        idxs = subsample_waypoints(
+            fr.path, conf.occupancy_resolution, conf.traj_parlength
+        )
+        Q = fr.path[idxs]
+        N = len(Q) + 1
+        m["n_pieces"] = N
+
+        # 3. obstacle gather
+        t0 = time.perf_counter()
+        bd = conf.kernel_bd
+        pts, mask = aabb.gather_aabb_points(
+            self.gridmap, Q, (bd / 3, bd / 3, bd / 3),
+            offset=conf.offsetAABBbox, max_points=conf.max_obstacle_points,
+        )
+        m["aabb_s"] = time.perf_counter() - t0
+        m["parallel_points_num"] = int(mask.sum())
+
+        head = jnp.zeros((3, 3)).at[:, 0].set(jnp.asarray(np.asarray(start, dtype=np.float64)))
+        tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.asarray(np.asarray(goal, dtype=np.float64)))
+        T0 = jnp.full(N, conf.inittime)
+
+        # 4. mid end
+        t0 = time.perf_counter()
+        ori_traj, opt_x, mid_res = midend.get_ori_traj(
+            conf, head, tail, jnp.asarray(Q), T0
+        )
+        m["mid_end_s"] = time.perf_counter() - t0
+        m["mid_end_iters"] = int(mid_res.n_iters)
+
+        # 5. back end
+        t0 = time.perf_counter()
+        tau, q_ws = backend.unpack(opt_x, N)
+        from isdf_tpu.core import timemap
+
+        traj, res = backend.optimize(
+            self.shape, conf, head, tail, q_ws,
+            timemap.tau_to_T(tau),
+            jnp.asarray(pts), jnp.asarray(mask),
+            max_iters=max_iters,
+        )
+        m["back_end_s"] = time.perf_counter() - t0
+        m["back_end_iters"] = int(res.n_iters)
+        m["back_end_evals"] = int(res.n_evals)
+        m["final_cost"] = float(res.f)
+        m["total_duration"] = float(traj.total_duration)
+        m["cost_trace"] = np.asarray(res.history)
+        self.metrics.log_dict(m)
+        return PlanResult(
+            True, traj=traj, path=fr.path, rolls=fr.rolls,
+            pitches=fr.pitches, metrics=m,
+        )
+
+    # -- audits --------------------------------------------------------------
+    def audit_collision(self, traj, n_samples: int = 400) -> float:
+        """Minimum swept SDF over all occupied voxels near the trajectory —
+        a REAL collision check (the reference's isTrajCollide is a stub that
+        always returns false, sw_manager.hpp:764-767)."""
+        from isdf_tpu.sweep import sweep_sdf
+
+        ts = np.linspace(0, float(traj.total_duration), 64)
+        import jax
+
+        centers = jax.vmap(traj.pos)(jnp.asarray(ts))
+        pts, mask = aabb.gather_aabb_points(
+            self.gridmap, np.asarray(centers),
+            (self.conf.kernel_bd / 2,) * 3,
+            max_points=self.conf.max_obstacle_points,
+        )
+        if not mask.any():
+            return float("inf")
+        sdf, _, _ = sweep_sdf(
+            self.shape, traj, self.params, jnp.asarray(pts[mask])
+        )
+        return float(jnp.min(sdf))

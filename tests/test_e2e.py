@@ -1,0 +1,93 @@
+"""End-to-end slice (SURVEY.md §7.2): map → A* → mid-end → back-end swept-SDF
+refine → collision audit, through the PlannerManager API."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from isdf_tpu.config import Config
+from isdf_tpu.plan import PlannerManager, TrajServer
+from isdf_tpu.plan.traj_server import sample_horizon
+from isdf_tpu.world import maps_gen
+
+
+@pytest.fixture(scope="module")
+def planned():
+    conf = Config(
+        mapBound=(0.0, 12.0, 0.0, 12.0, 0.0, 6.0),
+        occupancy_resolution=0.5,
+        kernel_size=5,
+        kernel_max_roll=0.0, kernel_max_pitch=0.0, kernel_ang_res=9.0,
+        integralIntervs=16,
+        sweep_coarse_samples=32, sweep_refine_rounds=10,
+        max_obstacle_points=512,
+        inittime=2.0,
+        vmax=5.0, omgmax=5.0, thetamax=1.5,
+        safety_hor=0.3,
+        traj_parlength=2.0,
+    )
+    # a wall at x∈[5,6) with a 3×3 m window at y∈[4,7), z∈[1,4)
+    wall = np.concatenate(
+        [
+            maps_gen.gene_wall(5.0, 0.0, 1.0, 4.0, 6.0, res=0.25),
+            maps_gen.gene_wall(5.0, 7.0, 1.0, 5.0, 6.0, res=0.25),
+            maps_gen.gene_wall(5.0, 4.0, 1.0, 3.0, 1.0, res=0.25),
+            maps_gen.gene_wall(5.0, 4.0, 1.0, 3.0, 2.0, oz=4.0, res=0.25),
+        ]
+    )
+    pm = PlannerManager(conf, shape_name="Ball")
+    pm.set_map_points(wall)
+    start = np.array([1.0, 5.0, 3.0])
+    goal = np.array([10.5, 5.0, 3.0])
+    res = pm.plan(start, goal, max_iters=60)
+    return pm, res, start, goal
+
+
+class TestEndToEnd:
+    def test_plan_succeeds(self, planned):
+        pm, res, start, goal = planned
+        assert res.success
+        assert res.metrics["parallel_points_num"] > 0
+
+    def test_endpoints(self, planned):
+        pm, res, start, goal = planned
+        jp = np.asarray(res.traj.junction_positions())
+        np.testing.assert_allclose(jp[0], start, atol=pm.conf.occupancy_resolution)
+        np.testing.assert_allclose(jp[-1], goal, atol=pm.conf.occupancy_resolution)
+
+    def test_no_collision(self, planned):
+        pm, res, *_ = planned
+        min_sdf = pm.audit_collision(res.traj)
+        assert min_sdf > 0.0, f"swept volume intersects obstacles: {min_sdf}"
+
+    def test_passes_window(self, planned):
+        pm, res, *_ = planned
+        import jax
+
+        ts = jnp.linspace(0.0, res.traj.total_duration, 200)
+        pos = np.asarray(jax.vmap(res.traj.pos)(ts))
+        at_wall = pos[(pos[:, 0] > 5.0) & (pos[:, 0] < 6.0)]
+        assert len(at_wall) > 0
+        assert np.all(at_wall[:, 1] > 3.5) and np.all(at_wall[:, 1] < 7.5)
+        assert np.all(at_wall[:, 2] > 0.5) and np.all(at_wall[:, 2] < 4.5)
+
+    def test_traj_server(self, planned):
+        pm, res, start, goal = planned
+        srv = TrajServer()
+        t0 = 1000.0
+        srv.set_trajectory(res.traj, stamp=t0)
+        srv.last_heartbeat = t0
+        cmd = srv.command(now=t0 + 0.5)
+        assert cmd is not None
+        assert np.isfinite(np.asarray(cmd.position)).all()
+        # horizon sampling: 100 ticks = 1 s
+        cmds = sample_horizon(res.traj, jnp.asarray(0.0), 100)
+        assert cmds.position.shape == (100, 3)
+        np.testing.assert_allclose(
+            np.asarray(cmds.position[0]), np.asarray(res.traj.pos(0.0)), atol=1e-9
+        )
+        # watchdog: stale heartbeat freezes velocity
+        srv.heartbeat()
+        srv.last_heartbeat = t0  # simulate stale
+        frozen = srv.command(now=t0 + 2.0)
+        np.testing.assert_allclose(np.asarray(frozen.velocity), 0.0, atol=1e-12)
