@@ -88,7 +88,7 @@ def integral_penalty(traj: PolyTraj, params: fl.FlatParams, w: BackendWeights,
     N = traj.n_pieces
     T = traj.durations
     j = jnp.arange(res + 1)
-    frac = j / res                                     # (res+1,)
+    frac = (j / res).astype(T.dtype)                   # (res+1,)
     s = T[:, None] * frac[None, :]                     # (N, res+1) local times
     c = traj.coeffs                                    # (N, 6, 3)
 
@@ -102,7 +102,9 @@ def integral_penalty(traj: PolyTraj, params: fl.FlatParams, w: BackendWeights,
     viola_vel = jnp.sum(vel * vel, axis=-1) - w.vmax**2
     viola_omg = jnp.sum(omg * omg, axis=-1) - w.omgmax**2
     cos_theta = 1.0 - 2.0 * (quat[..., 1] ** 2 + quat[..., 2] ** 2)
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-9, 1.0 - 1e-9))
+    # clip margin must be representable in f32: 1−1e-9 rounds to 1.0f and
+    # arccos' = −∞ there, which poisons the whole reverse pass via 0·∞.
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-6, 1.0 - 1e-6))
     viola_theta = theta - w.thetamax
 
     pena = (
@@ -110,7 +112,7 @@ def integral_penalty(traj: PolyTraj, params: fl.FlatParams, w: BackendWeights,
         + w.weight_omg * smoothed_l1(viola_omg, w.smooth_fac)
         + w.weight_theta * smoothed_l1(viola_theta, w.smooth_fac)
     )                                                   # (N, res+1)
-    node = jnp.where((j == 0) | (j == res), 0.5, 1.0)   # trapezoid
+    node = jnp.where((j == 0) | (j == res), 0.5, 1.0).astype(T.dtype)
     step = T / res                                      # (N,)
     return jnp.sum(pena * node[None, :] * step[:, None])
 

@@ -74,19 +74,20 @@ def _zoom(shape, traj, params, p_eva, t0, w0, rounds: int, k: int = 8):
     Each round evaluates k candidates in [t0−w, t0+w] and re-centers on the
     argmin; w shrinks by the candidate spacing factor.  Returns (t*, sdf*).
     """
-    total = traj.total_duration
-    offs = jnp.linspace(-1.0, 1.0, k)
+    total = traj.total_duration.astype(t0.dtype)
+    offs = jnp.linspace(-1.0, 1.0, k).astype(t0.dtype)
 
     def body(carry, _):
         t, w = carry
         cand = jnp.clip(t[:, None] + w[:, None] * offs[None, :], 0.0, total)
+        cand = cand.astype(t0.dtype)
         flat = cand.reshape(-1)
         d = sdf_at_time(
             shape, traj, params, jnp.repeat(p_eva, k, axis=0), flat
         ).reshape(cand.shape)
         j = jnp.argmin(d, axis=1)
         t_new = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
-        w_new = w * (2.0 / (k - 1))
+        w_new = (w * (2.0 / (k - 1))).astype(t0.dtype)
         return (t_new, w_new), None
 
     w_init = jnp.broadcast_to(jnp.asarray(w0, t0.dtype), t0.shape)
