@@ -1,0 +1,92 @@
+"""Grid-backed SDF shapes: mesh robots as baked voxel fields.
+
+The on-device form of the reference's numeric self-SDF map
+(ref Shape.hpp:481-600 getonlySDFNum/getonlyGrad1Num/getSDFwithGrad1Num:
+trilinear interpolation of a precomputed (distance, gradient) grid).  Here
+only the distance field is stored; the gradient is the exact autodiff of the
+trilinear interpolant.  Outside the grid the field falls back to distance to
+the grid's bounding box plus the boundary value — smooth, conservative, and
+defined everywhere (the reference returns 1e20 outside, Shape.hpp:600).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isdf_tpu.shapes.zoo import Shape
+from isdf_tpu.shapes import mesh as meshlib
+
+
+def _interp(field, origin, res, p):
+    g = (p - origin) / res
+    size = jnp.array(field.shape)
+    gc = jnp.clip(g, 0.0, (size - 1).astype(g.dtype) - 1e-5)
+    i0 = jnp.clip(jnp.floor(gc).astype(jnp.int32), 0, size - 2)
+    f = gc - i0.astype(gc.dtype)
+
+    def gat(ox, oy, oz):
+        return field[i0[..., 0] + ox, i0[..., 1] + oy, i0[..., 2] + oz]
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = gat(0, 0, 0) * (1 - fx) + gat(1, 0, 0) * fx
+    c10 = gat(0, 1, 0) * (1 - fx) + gat(1, 1, 0) * fx
+    c01 = gat(0, 0, 1) * (1 - fx) + gat(1, 0, 1) * fx
+    c11 = gat(0, 1, 1) * (1 - fx) + gat(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    inner = c0 * (1 - fz) + c1 * fz
+
+    # outside fallback: clamp-point value + distance to the grid box
+    hi = origin + (size - 1).astype(p.dtype) * res
+    over = jnp.maximum(p - hi, 0.0) + jnp.minimum(p - origin, 0.0)
+    outside = jnp.sqrt(jnp.sum(over * over, axis=-1) + 1e-12)
+    return inner + outside
+
+
+def grid_shape(name: str, field, origin, resolution, bounds=None) -> Shape:
+    field = jnp.asarray(field)
+    origin = jnp.asarray(origin)
+    res = jnp.asarray(resolution)
+    if bounds is None:
+        ext = np.asarray(field.shape) * float(resolution) / 2
+        bounds = tuple(float(e) for e in ext)
+
+    def sdf(p):
+        return _interp(field, origin, res, p)
+
+    return Shape(name=name, sdf=sdf, bounds=bounds)
+
+
+def mesh_shape(
+    name: str,
+    obj_path: str,
+    poly_params=(0.0,) * 6,
+    resolution: float = 0.1,
+    margin: float = 0.6,
+) -> Shape:
+    """Load an OBJ robot body, apply its yaml pose, bake the SDF grid, and
+    wrap it as a Shape (the ``Generalshape`` replacement — ref Shape.cpp:27).
+    """
+    V, F = meshlib.load_obj(obj_path)
+    V = meshlib.transform_mesh(V, poly_params)
+    field, origin, res = meshlib.bake_sdf_grid(V, F, resolution, margin)
+    ext = np.abs(V).max(axis=0)
+    return grid_shape(name, field, origin, res, bounds=tuple(ext))
+
+
+def shape_from_config(conf) -> Shape:
+    """Shape factory honoring use_objfile_as_body (ref sw_manager initShape:
+    named analytic shape if registered, else mesh Generalshape)."""
+    from isdf_tpu.shapes.zoo import SHAPE_REGISTRY, make_shape
+
+    name = conf.inputdata.rsplit("/", 1)[-1].removesuffix(".obj") if conf.inputdata else ""
+    if name in SHAPE_REGISTRY:
+        return make_shape(name, conf)
+    if conf.inputdata:
+        return mesh_shape(name or "mesh", conf.inputdata, conf.poly_params,
+                          conf.selfmapresu)
+    return make_shape("Ball", conf)
