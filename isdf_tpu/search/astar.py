@@ -61,9 +61,13 @@ def astar_se3(
     rolls: Optional[np.ndarray] = None,
     pitches: Optional[np.ndarray] = None,
     max_expansions: int = 2_000_000,
+    use_native: bool = True,
 ) -> AstarResult:
     """A* search; if `feasibility` (R, P, X, Y, Z) is given the search is
     pose-aware, else plain occupancy A* (feasible = not occupied).
+
+    Runs the C++ core (native/astar.cpp via ctypes) when available; this
+    Python twin is the reference implementation and fallback.
     """
     occ = np.asarray(gridmap.occ)
     origin = np.asarray(gridmap.origin)
@@ -79,6 +83,28 @@ def astar_se3(
     s_idx, g_idx = to_idx(start), to_idx(goal)
     if not (in_map(s_idx) and in_map(g_idx)):
         return AstarResult(False, np.zeros((0, 3)), np.zeros(0), np.zeros(0), 0)
+
+    if use_native:
+        from isdf_tpu import native
+
+        nat = native.astar_native(
+            occ, None if feasibility is None else np.asarray(feasibility),
+            s_idx, g_idx, max_expansions,
+        )
+        if nat is not None:
+            path_idx, pose_idx, expanded = nat
+            if path_idx is None:
+                return AstarResult(
+                    False, np.zeros((0, 3)), np.zeros(0), np.zeros(0), expanded
+                )
+            pts = origin + (path_idx + 0.5) * res
+            if feasibility is not None:
+                rr = np.asarray(rolls)[pose_idx[:, 0]]
+                pp = np.asarray(pitches)[pose_idx[:, 1]]
+            else:
+                rr = np.zeros(len(path_idx))
+                pp = np.zeros(len(path_idx))
+            return AstarResult(True, pts, rr, pp, expanded)
 
     pose_aware = feasibility is not None
     if pose_aware:
