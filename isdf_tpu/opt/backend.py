@@ -188,9 +188,13 @@ def optimize(
     mask,
     t_warm0=None,
     max_iters: Optional[int] = None,
+    method: str = "lbfgs",
 ):
     """Full back-end solve (ref optimize_traj_lmbm, back_end_optimizer.cpp:99).
 
+    method: "lbfgs" (smoothed costs, the reference's declared-interchangeable
+    variant, hpp:730) or "lmbm" (nonsmooth bundle loop, opt/lmbm.py —
+    the reference's default outer solver).
     Returns (PolyTraj, LBFGSResult).
     """
     N = T0.shape[0]
@@ -205,13 +209,21 @@ def optimize(
         coarse_n=conf.sweep_coarse_samples,
         refine_rounds=conf.sweep_refine_rounds,
     )
-    res = lbfgs.minimize(
-        cost_and_grad, x0, t_warm0,
-        m=conf.mem_size,
-        max_iters=max_iters if max_iters is not None else conf.max_iterations,
-        g_epsilon=max(conf.g_epsilon, 1e-7),
-        past=conf.past,
-        rel_cost_tol=conf.relCostTol,
-    )
+    iters = max_iters if max_iters is not None else conf.max_iterations
+    if method == "lmbm":
+        from isdf_tpu.opt import lmbm
+
+        res = lmbm.minimize(
+            cost_and_grad, x0, t_warm0, m=conf.mem_size, max_iters=iters,
+        )
+    else:
+        res = lbfgs.minimize(
+            cost_and_grad, x0, t_warm0,
+            m=conf.mem_size,
+            max_iters=iters,
+            g_epsilon=max(conf.g_epsilon, 1e-7),
+            past=conf.past,
+            rel_cost_tol=conf.relCostTol,
+        )
     traj, _, _ = build_traj(res.x, N, head, tail)
     return traj, res
