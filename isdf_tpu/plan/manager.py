@@ -77,11 +77,41 @@ class PlannerManager:
             self.feasibility = np.asarray(feas)
             self.metrics.log("kernel_build_s", time.perf_counter() - t0)
 
+    def snap_feasible(self, p, max_radius_vox: int = 6) -> np.ndarray:
+        """Snap a point to the nearest any-pose-feasible free voxel center
+        (within max_radius_vox), so user clicks inside/too close to geometry
+        still plan."""
+        gm = self.gridmap
+        occ = np.asarray(gm.occ)
+        free = ~occ
+        if self.feasibility is not None:
+            R, P = self.feasibility.shape[:2]
+            free = free & self.feasibility.reshape(R * P, *occ.shape).any(axis=0)
+        idx = np.asarray(gm.world_to_index(jnp.asarray(np.asarray(p, dtype=np.float64))))
+        if (idx < 0).any() or (idx >= np.array(occ.shape)).any():
+            return np.asarray(p, dtype=np.float64)
+        if free[tuple(idx)]:
+            return np.asarray(p, dtype=np.float64)
+        best, best_d = None, None
+        r = max_radius_vox
+        lo = np.maximum(idx - r, 0)
+        hi = np.minimum(idx + r + 1, occ.shape)
+        sub = free[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        cands = np.argwhere(sub) + lo
+        if len(cands) == 0:
+            return np.asarray(p, dtype=np.float64)
+        d = np.linalg.norm(cands - idx, axis=1)
+        best = cands[np.argmin(d)]
+        return np.asarray(gm.index_to_world(jnp.asarray(best)))
+
     # -- full plan (ref targetRcvCallBack) -----------------------------------
     def plan(self, start, goal, max_iters: Optional[int] = None) -> PlanResult:
         assert self.gridmap is not None, "call set_map first"
         conf = self.conf
         m: Dict[str, Any] = {}
+
+        start = self.snap_feasible(start)
+        goal = self.snap_feasible(goal)
 
         # 1. front end
         t0 = time.perf_counter()

@@ -37,15 +37,22 @@ class GridMap(NamedTuple):
     @staticmethod
     def from_points(
         points: np.ndarray,
-        bounds: Tuple[float, ...],
-        resolution: float,
+        bounds: Optional[Tuple[float, ...]] = None,
+        resolution: float = 0.15,
         sta_threshold: int = 1,
+        pad: float = 0.0,
     ) -> "GridMap":
         """Point cloud → occupancy (ref PCSmap_manager.cpp:106-181).
 
-        bounds = (xmin, xmax, ymin, ymax, zmin, zmax), reference mapBound.
+        bounds = (xmin, xmax, ymin, ymax, zmin, zmax), reference mapBound;
+        None measures the cloud's own bounding box (+pad), which is what the
+        reference's PCSmapManager does (PCSmap_manager.cpp:111-143).
         Host-side (runs once per map).
         """
+        if bounds is None:
+            p = np.asarray(points)
+            lo, hi = p.min(axis=0) - pad, p.max(axis=0) + pad
+            bounds = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
         bounds = np.asarray(bounds, dtype=np.float64)
         origin = bounds[[0, 2, 4]]
         size = np.maximum(
