@@ -32,7 +32,7 @@ class TestDemoAssets:
 
     def test_generated_map_demo6(self):
         pts = load_demo_points(DEMOS[6])
-        assert len(pts) > 10000
+        assert len(pts) > 5000
 
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference assets absent")
