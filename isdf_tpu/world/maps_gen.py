@@ -178,3 +178,48 @@ def generate(map_id: int, res: float = 0.1, seed: int = 0) -> np.ndarray:
     if map_id not in MAP_GENERATORS:
         raise KeyError(f"map id {map_id} not implemented; have {sorted(MAP_GENERATORS)}")
     return MAP_GENERATORS[map_id](res=res, seed=seed)
+
+
+# --- mockamap-style random noise maps (ref src/uav_simulator/mockamap) ------
+def _perlin3(shape, feature, rng):
+    """Simple 3-D gradient (Perlin) noise on a grid, values ≈ [−1, 1]."""
+    gx = np.array(shape) // feature + 2
+    grads = rng.normal(size=(*gx, 3))
+    grads /= np.linalg.norm(grads, axis=-1, keepdims=True) + 1e-12
+
+    coords = np.stack(
+        np.meshgrid(*[np.arange(s) / feature for s in shape], indexing="ij"),
+        axis=-1,
+    )
+    i0 = coords.astype(int)
+    f = coords - i0
+
+    def fade(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    w = fade(f)
+    total = np.zeros(shape)
+    for cx in range(2):
+        for cy in range(2):
+            for cz in range(2):
+                corner = i0 + np.array([cx, cy, cz])
+                g = grads[corner[..., 0], corner[..., 1], corner[..., 2]]
+                d = f - np.array([cx, cy, cz])
+                dot = np.sum(g * d, axis=-1)
+                wx = w[..., 0] if cx else 1 - w[..., 0]
+                wy = w[..., 1] if cy else 1 - w[..., 1]
+                wz = w[..., 2] if cz else 1 - w[..., 2]
+                total += dot * wx * wy * wz
+    return total
+
+
+def mockamap(size=(40, 40, 15), res=0.5, seed=0, feature=6, fill=0.12):
+    """Perlin-noise obstacle field (the mockamap alternative map source,
+    ref src/uav_simulator/mockamap/src/maps.cpp perlin3D type): threshold
+    the noise at the `fill` occupancy quantile, return occupied voxel
+    centers as a point cloud."""
+    rng = np.random.default_rng(seed)
+    noise = _perlin3(tuple(size), feature, rng)
+    thresh = np.quantile(noise, 1.0 - fill)
+    idx = np.argwhere(noise >= thresh)
+    return (idx + 0.5) * res
