@@ -167,6 +167,53 @@ def forward_full(vel, acc, jer, psi, dpsi, p: FlatParams):
     return thr, quat, omg
 
 
+class PlanarPose(NamedTuple):
+    """SE(2) "attitude map": the trajectory's 3rd coordinate IS the yaw ψ.
+
+    This is the planar planning mode of the paper's 2-D experiments
+    (BASELINE configs: "2D circle robot, rotation decoupled", "2D arbitrary
+    polygon with yaw optimization"): MINCO optimizes (x, y, ψ) jointly; the
+    robot pose is ((x, y, z_ref), Rz(ψ)).  Passing a PlanarPose instead of
+    FlatParams anywhere a pose map is expected switches the whole pipeline
+    (sweep, penalties, demos) to SE(2).
+    """
+
+    z_ref: float = 0.0
+
+
+def pose_of(pos, vel, acc, jer, p):
+    """(p/v/a/j) → (position ℝ³, attitude R) under either pose map."""
+    if isinstance(p, PlanarPose):
+        yaw = pos[..., 2]
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        zeros = jnp.zeros_like(c)
+        ones = jnp.ones_like(c)
+        R = jnp.stack(
+            [c, -s, zeros, s, c, zeros, zeros, zeros, ones], axis=-1
+        ).reshape(yaw.shape + (3, 3))
+        pos3 = jnp.stack(
+            [pos[..., 0], pos[..., 1], jnp.full_like(c, p.z_ref)], axis=-1
+        )
+        return pos3, R
+    quat = tilt_quat(vel, acc, p)
+    return pos, quat_to_rot(quat)
+
+
+def rates_of(pos, vel, acc, jer, p):
+    """(quat, ω) for the dynamic-feasibility penalties under either map.
+
+    Planar: quat = yaw quaternion (no tilt), ω = (0, 0, ψ̇)."""
+    if isinstance(p, PlanarPose):
+        half = 0.5 * pos[..., 2]
+        zeros = jnp.zeros_like(half)
+        quat = jnp.stack(
+            [jnp.cos(half), zeros, zeros, jnp.sin(half)], axis=-1
+        )
+        omg = jnp.stack([zeros, zeros, vel[..., 2]], axis=-1)
+        return quat, omg
+    return forward(vel, acc, jer, p)
+
+
 def state_on_traj(traj, t, p: FlatParams):
     """Trajectory state → (pos, vel, R, Ṙ) at time t.
 

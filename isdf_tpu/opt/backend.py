@@ -97,9 +97,13 @@ def integral_penalty(traj: PolyTraj, params: fl.FlatParams, w: BackendWeights,
         return jnp.einsum("nsk,nkd->nsd", b, c)
 
     vel, acc, jer = eval_d(1), eval_d(2), eval_d(3)
-    quat, omg = fl.forward(vel, acc, jer, params)
+    quat, omg = fl.rates_of(eval_d(0), vel, acc, jer, params)
 
-    viola_vel = jnp.sum(vel * vel, axis=-1) - w.vmax**2
+    if isinstance(params, fl.PlanarPose):
+        # planar: translational speed is (vx, vy); the 3rd dim is ψ̇
+        viola_vel = jnp.sum(vel[..., :2] ** 2, axis=-1) - w.vmax**2
+    else:
+        viola_vel = jnp.sum(vel * vel, axis=-1) - w.vmax**2
     viola_omg = jnp.sum(omg * omg, axis=-1) - w.omgmax**2
     cos_theta = 1.0 - 2.0 * (quat[..., 1] ** 2 + quat[..., 2] ** 2)
     # clip margin must be representable in f32: 1−1e-9 rounds to 1.0f and
@@ -126,11 +130,13 @@ def swept_penalty(shape, traj: PolyTraj, params: fl.FlatParams,
     Returns (cost, new t*). The argmin search is gradient-free; the penalty
     re-evaluates the SDF at frozen t* differentiably.
     """
+    from isdf_tpu.sweep.fast_eval import sdf_at_time_fast
+
     _, t_star, _ = sweep_sdf_warm(
         shape, jax.lax.stop_gradient(traj), params, points, t_warm,
         coarse_n=coarse_n, refine_rounds=refine_rounds,
     )
-    sdf = sdf_at_time(shape, traj, params, points, t_star)
+    sdf = sdf_at_time_fast(shape, traj, params, points, t_star)
     pena = w.weight_p * smoothed_l1(w.safety_hor - sdf, 0.01)
     cost = jnp.sum(jnp.where(mask, pena, 0.0))
     return cost, t_star
@@ -189,6 +195,7 @@ def optimize(
     t_warm0=None,
     max_iters: Optional[int] = None,
     method: str = "lbfgs",
+    params=None,
 ):
     """Full back-end solve (ref optimize_traj_lmbm, back_end_optimizer.cpp:99).
 
@@ -198,7 +205,8 @@ def optimize(
     Returns (PolyTraj, LBFGSResult).
     """
     N = T0.shape[0]
-    params = fl.FlatParams.from_config(conf)
+    if params is None:
+        params = fl.FlatParams.from_config(conf)
     w = BackendWeights.from_config(conf)
     x0 = pack(timemap.T_to_tau(T0), q0)
     if t_warm0 is None:

@@ -1,0 +1,86 @@
+"""Gather-free batched trajectory-state evaluation — the swept-SDF hot path.
+
+``PolyTraj.pvaj`` gathers the located piece's (6, 3) coefficient block per
+query (coeffs[idx]); on TPU that gather scalarizes and throttles the zoom
+refinement to ~10⁷ evals/s while the surrounding elementwise chain
+(flatness + rotation + SDF) sustains ~10¹⁰.  This module evaluates **all N
+pieces** with one einsum — a (PK, 6)×(6, N·3) matmul the MXU eats — and
+selects the located piece by a one-hot contraction.  N× more FLOPs, zero
+gathers: orders of magnitude faster for the N ≤ 32 regime.
+
+Numerically identical to the gather path (tests assert parity); local times
+are clamped per piece to keep unselected-piece monomials bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isdf_tpu.core import flatness as fl
+from isdf_tpu.core.so3 import quat_to_rot
+
+# β factors for orders 0..3 over 6 ascending-power coefficients
+_FACT = np.array(
+    [
+        [1, 1, 1, 1, 1, 1],
+        [0, 1, 2, 3, 4, 5],
+        [0, 0, 2, 6, 12, 20],
+        [0, 0, 0, 6, 24, 60],
+    ],
+    dtype=np.float64,
+)
+_POW = np.array(
+    [
+        [0, 1, 2, 3, 4, 5],
+        [0, 0, 1, 2, 3, 4],
+        [0, 0, 0, 1, 2, 3],
+        [0, 0, 0, 0, 1, 2],
+    ]
+)
+
+
+def pvaj_all(traj, t):
+    """pos/vel/acc/jerk at global times t (any shape), gather-free.
+
+    Returns four arrays of shape t.shape + (3,).
+    """
+    dtype = t.dtype
+    durations = traj.durations.astype(dtype)
+    cum = jnp.cumsum(durations)
+    starts = cum - durations
+    N = durations.shape[0]
+
+    tc = jnp.clip(t, 0.0, cum[-1])
+    idx = jnp.clip(
+        jnp.searchsorted(cum, jax.lax.stop_gradient(tc), side="left"), 0, N - 1
+    )
+    oh = jax.nn.one_hot(idx, N, dtype=dtype)                 # t.shape + (N,)
+
+    s = t[..., None] - starts                                 # t.shape + (N,)
+    s = jnp.clip(s, 0.0, durations)
+    one = jnp.ones_like(s)
+    pows = [one]
+    for _ in range(5):
+        pows.append(pows[-1] * s)
+    P6 = jnp.stack(pows, axis=-1)                             # (..., N, 6)
+
+    coeffs = traj.coeffs.astype(dtype)                        # (N, 6, 3)
+    outs = []
+    for d in range(4):
+        fact = jnp.asarray(_FACT[d], dtype)
+        b = fact * P6[..., _POW[d]]                           # (..., N, 6)
+        per_piece = jnp.einsum("...nk,nkd->...nd", b, coeffs) # (..., N, 3)
+        outs.append(jnp.einsum("...n,...nd->...d", oh, per_piece))
+    return tuple(outs)
+
+
+def sdf_at_time_fast(shape, traj, params: fl.FlatParams, p_eva, t):
+    """Batched body SDF at trajectory time(s) — gather-free twin of
+    sweep_sdf.sdf_at_time.  p_eva broadcasts against t (e.g. (P, 1, 3) vs
+    (P, K))."""
+    pos, vel, acc, jer = pvaj_all(traj, t)
+    pos3, R = fl.pose_of(pos, vel, acc, jer, params)
+    p_rel = jnp.einsum("...ji,...j->...i", R, p_eva - pos3)
+    return shape.sdf(p_rel)

@@ -41,11 +41,11 @@ from isdf_tpu.core import flatness as fl
 from isdf_tpu.core.so3 import quat_to_rot
 
 
-def traj_states(traj, params: fl.FlatParams, ts):
-    """Poses (x, R) at times ts (T,) → ((T,3), (T,3,3)). Batched flatness."""
+def traj_states(traj, params, ts):
+    """Poses (x, R) at times ts (T,) → ((T,3), (T,3,3)).  Batched; `params`
+    selects the pose map (FlatParams → quadrotor tilt, PlanarPose → SE(2))."""
     pos, vel, acc, jer = jax.vmap(traj.pvaj)(ts)
-    quat = fl.tilt_quat(vel, acc, params)
-    return pos, quat_to_rot(quat)
+    return fl.pose_of(pos, vel, acc, jer, params)
 
 
 def sdf_at_time(shape, traj, params: fl.FlatParams, p_eva, t):
@@ -55,9 +55,8 @@ def sdf_at_time(shape, traj, params: fl.FlatParams, p_eva, t):
     what the penalty evaluates at the frozen t* (envelope theorem).
     """
     pos, vel, acc, jer = traj.pvaj(t)
-    quat = fl.tilt_quat(vel, acc, params)
-    R = quat_to_rot(quat)
-    p_rel = jnp.einsum("...ji,...j->...i", R, p_eva - pos)
+    pos3, R = fl.pose_of(pos, vel, acc, jer, params)
+    p_rel = jnp.einsum("...ji,...j->...i", R, p_eva - pos3)
     return shape.sdf(p_rel)
 
 
@@ -68,31 +67,61 @@ def _batched_sdf_table(shape, p_eva, xs, Rs):
     return shape.sdf(p_rel)                            # (P, T)
 
 
+def _plateau_argmin(d, cand, tie_eps: float = 1e-4):
+    """Center of the connected near-minimum run, per row.
+
+    When a query point lies inside the body, SDF(t) is constant over a time
+    *interval* (plateau); the plain first-index argmin lands on the plateau
+    edge, where the frozen-t* gradient picks up the wrong active face of the
+    SDF max/min structure (the envelope theorem needs an argmin in the
+    plateau interior).  This selects the midpoint of the tie run containing
+    the argmin — equals the argmin for strict minima.
+    """
+    dmin = jnp.min(d, axis=-1, keepdims=True)
+    tie = d <= dmin + tie_eps
+    j = jnp.argmin(d, axis=-1)[..., None]                    # (P, 1)
+    k = d.shape[-1]
+    idx = jnp.arange(k)
+    # connectivity to j: all ties between position i and j
+    tie_r = jnp.where(idx[None, :] <= j, True, tie)
+    conn_r = jnp.cumprod(tie_r, axis=-1).astype(bool)
+    tie_l = jnp.where(idx[None, :] >= j, True, tie)
+    conn_l = jnp.flip(
+        jnp.cumprod(jnp.flip(tie_l, axis=-1), axis=-1), axis=-1
+    ).astype(bool)
+    conn = jnp.where(idx[None, :] >= j, conn_r, conn_l)
+    wsum = jnp.sum(conn, axis=-1)
+    t_center = jnp.sum(jnp.where(conn, cand, 0.0), axis=-1) / wsum
+    return t_center
+
+
 def _zoom(shape, traj, params, p_eva, t0, w0, rounds: int, k: int = 8):
     """Fixed-round interval zoom around per-point seeds t0 (P,).
 
     Each round evaluates k candidates in [t0−w, t0+w] and re-centers on the
-    argmin; w shrinks by the candidate spacing factor.  Returns (t*, sdf*).
+    plateau-centered argmin; w shrinks by the candidate spacing factor.
+    Returns (t*, sdf*).  The per-candidate state evaluation is the
+    gather-free fast path (sweep/fast_eval.py) — the (P, k) candidate block
+    becomes one einsum.
     """
+    from isdf_tpu.sweep.fast_eval import sdf_at_time_fast
+
     total = traj.total_duration.astype(t0.dtype)
     offs = jnp.linspace(-1.0, 1.0, k).astype(t0.dtype)
+    p3 = p_eva[:, None, :]                               # (P, 1, 3)
 
     def body(carry, _):
         t, w = carry
         cand = jnp.clip(t[:, None] + w[:, None] * offs[None, :], 0.0, total)
         cand = cand.astype(t0.dtype)
-        flat = cand.reshape(-1)
-        d = sdf_at_time(
-            shape, traj, params, jnp.repeat(p_eva, k, axis=0), flat
-        ).reshape(cand.shape)
-        j = jnp.argmin(d, axis=1)
-        t_new = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
+        d = sdf_at_time_fast(shape, traj, params, p3, cand)   # (P, k)
+        t_new = _plateau_argmin(d, cand)
         w_new = (w * (2.0 / (k - 1))).astype(t0.dtype)
         return (t_new, w_new), None
 
     w_init = jnp.broadcast_to(jnp.asarray(w0, t0.dtype), t0.shape)
     (t_star, _), _ = jax.lax.scan(body, (t0, w_init), None, length=rounds)
-    sdf_star = sdf_at_time(shape, traj, params, p_eva, t_star)
+    sdf_star = sdf_at_time_fast(shape, traj, params, p_eva, t_star)
     return t_star, sdf_star
 
 
@@ -161,10 +190,11 @@ def sweep_sdf_warm(
 def _grad_prel(shape, traj, params, p_eva, t_star):
     """∂SDF/∂p_rel at the argmin pose (ref getGradPrelAtTimeStamp,
     sw_manager.hpp:566-572)."""
-    pos, vel, acc, jer = jax.vmap(traj.pvaj)(t_star)
-    quat = fl.tilt_quat(vel, acc, params)
-    R = quat_to_rot(quat)
-    p_rel = jnp.einsum("pji,pj->pi", R, p_eva - pos)
+    from isdf_tpu.sweep.fast_eval import pvaj_all
+
+    pos, vel, acc, jer = pvaj_all(traj, t_star)
+    pos3, R = fl.pose_of(pos, vel, acc, jer, params)
+    p_rel = jnp.einsum("pji,pj->pi", R, p_eva - pos3)
     return shape.grad(p_rel)
 
 
