@@ -41,10 +41,12 @@ _POW = np.array(
 )
 
 
-def pvaj_all(traj, t):
-    """pos/vel/acc/jerk at global times t (any shape), gather-free.
+def pvaj_all(traj, t, n_orders: int = 4):
+    """pos/vel/acc[/jerk] at global times t (any shape), gather-free.
 
-    Returns four arrays of shape t.shape + (3,).
+    Returns n_orders arrays of shape t.shape + (3,), zero-padded to 4 when
+    n_orders < 4 (the pose map never reads jerk; computing it is pure
+    bandwidth waste in the zoom hot loop).
     """
     dtype = t.dtype
     durations = traj.durations.astype(dtype)
@@ -68,19 +70,22 @@ def pvaj_all(traj, t):
 
     coeffs = traj.coeffs.astype(dtype)                        # (N, 6, 3)
     outs = []
-    for d in range(4):
+    for d in range(n_orders):
         fact = jnp.asarray(_FACT[d], dtype)
         b = fact * P6[..., _POW[d]]                           # (..., N, 6)
-        per_piece = jnp.einsum("...nk,nkd->...nd", b, coeffs) # (..., N, 3)
-        outs.append(jnp.einsum("...n,...nd->...d", oh, per_piece))
+        per_piece = (b[..., None] * coeffs).sum(-2)           # (..., N, 3)
+        outs.append((oh[..., None] * per_piece).sum(-2))
+    while len(outs) < 4:
+        outs.append(jnp.zeros_like(outs[0]))
     return tuple(outs)
 
 
-def sdf_at_time_fast(shape, traj, params: fl.FlatParams, p_eva, t):
+def sdf_at_time_fast(shape, traj, params, p_eva, t):
     """Batched body SDF at trajectory time(s) — gather-free twin of
     sweep_sdf.sdf_at_time.  p_eva broadcasts against t (e.g. (P, 1, 3) vs
-    (P, K))."""
-    pos, vel, acc, jer = pvaj_all(traj, t)
+    (P, K)).  Only orders 0-2 are evaluated (tilt needs vel/acc, SE(2)
+    needs pos)."""
+    pos, vel, acc, jer = pvaj_all(traj, t, n_orders=3)
     pos3, R = fl.pose_of(pos, vel, acc, jer, params)
     p_rel = jnp.einsum("...ji,...j->...i", R, p_eva - pos3)
     return shape.sdf(p_rel)
