@@ -86,25 +86,26 @@ def main():
     # --- 2) batched plans/s --------------------------------------------------
     B, n_pts, solve_iters = 256, 512, 40
     sb = pb.make_random_batch(conf, B=B, N=4, n_points=n_pts, dtype=dtype)
-    solve = jax.jit(lambda b: pb.batched_solve(shape, conf, b, max_iters=solve_iters))
-    out = solve(sb)
+    # chunked: keeps device programs short (runtime watchdog) and is the
+    # production execution mode (between-chunk observability)
+    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=8)
     jax.block_until_ready(out[2])
     t0 = time.perf_counter()
-    reps = 3
+    reps = 2
     for _ in range(reps):
-        out = solve(sb)
+        out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=8)
     jax.block_until_ready(out[2])
     plan_dt = (time.perf_counter() - t0) / reps
     plans_per_s = B / plan_dt
 
     # --- 3) p50 single-plan latency ------------------------------------------
     sb1 = pb.make_random_batch(conf, B=1, N=4, n_points=n_pts, dtype=dtype)
-    solve1 = jax.jit(lambda b: pb.batched_solve(shape, conf, b, max_iters=solve_iters))
-    out = solve1(sb1); jax.block_until_ready(out[2])
+    out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=8)
+    jax.block_until_ready(out[2])
     lats = []
     for _ in range(10):
         t0 = time.perf_counter()
-        out = solve1(sb1)
+        out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=8)
         jax.block_until_ready(out[2])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)

@@ -33,6 +33,7 @@ class LBFGSResult(NamedTuple):
     converged: jax.Array
     aux: Any
     history: Any  # (max_iters,) cost trace (observability; NaN-padded)
+    state: Any = None  # full solver state for resume (minimize_chunked)
 
 
 class _State(NamedTuple):
@@ -149,25 +150,40 @@ def minimize(
     past: int = 10,
     rel_cost_tol: float = 1e-8,
     max_ls: int = 24,
+    resume_state: "_State" = None,
+    trace_len: int = None,
 ) -> LBFGSResult:
-    """Run L-BFGS; fully jit-compatible (call under jit / vmap)."""
+    """Run L-BFGS; fully jit-compatible (call under jit / vmap).
+
+    Pass ``resume_state`` (from a previous result's ``.state``) to continue a
+    solve — the basis of chunked execution (minimize_chunked), which keeps
+    single device programs short and provides between-chunk observability
+    (the reference's earlyExit callback cadence).
+    """
     n = x0.shape[0]
     dtype = x0.dtype
-    f0, g0, aux1 = cost_and_grad(x0, aux0)
-    fpast = jnp.full((past,), jnp.inf, dtype).at[0].set(f0)
-    trace = jnp.full((max_iters,), jnp.nan, dtype)
-
-    st = _State(
-        x=x0, f=f0, g=g0, aux=aux1,
-        S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
-        rho=jnp.zeros((m,), dtype),
-        n_corr=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
-        it=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
-        done=jnp.asarray(False), fpast=fpast, trace=trace,
-    )
+    if trace_len is None:
+        trace_len = max_iters
+    trace = jnp.full((trace_len,), jnp.nan, dtype)
+    if resume_state is not None:
+        # keep `done` — converged batch elements stay converged (no-ops)
+        st = resume_state._replace(trace=trace)
+        it_end = st.it + max_iters
+    else:
+        f0, g0, aux1 = cost_and_grad(x0, aux0)
+        fpast = jnp.full((past,), jnp.inf, dtype).at[0].set(f0)
+        st = _State(
+            x=x0, f=f0, g=g0, aux=aux1,
+            S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
+            rho=jnp.zeros((m,), dtype),
+            n_corr=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
+            done=jnp.asarray(False), fpast=fpast, trace=trace,
+        )
+        it_end = max_iters
 
     def cond(st: _State):
-        return (~st.done) & (st.it < max_iters)
+        return (~st.done) & (st.it < it_end)
 
     def body(st: _State):
         d = -_two_loop(st.g, st.S, st.Y, st.rho, st.n_corr, st.head, m)
@@ -200,11 +216,47 @@ def minimize(
             n_corr=n_corr, head=head, it=st.it + 1,
             evals=st.evals + ls_evals, done=done,
             fpast=st.fpast.at[(st.it + 1) % past].set(f),
-            trace=st.trace.at[st.it].set(f),
+            trace=st.trace.at[st.it % st.trace.shape[0]].set(f),
         )
 
     st = jax.lax.while_loop(cond, body, st)
     return LBFGSResult(
         x=st.x, f=st.f, g=st.g, n_iters=st.it, n_evals=st.evals,
-        converged=st.done, aux=st.aux, history=st.trace,
+        converged=st.done, aux=st.aux, history=st.trace, state=st,
     )
+
+
+def minimize_chunked(
+    cost_and_grad,
+    x0,
+    aux0=None,
+    m: int = 16,
+    max_iters: int = 300,
+    chunk: int = 8,
+    callback=None,
+    **kw,
+) -> LBFGSResult:
+    """Host-driven chunked L-BFGS: runs `chunk` iterations per device call,
+    carrying full solver state across calls.  Keeps individual XLA programs
+    short (long-running single programs can trip runtime watchdogs) and
+    invokes `callback(result)` between chunks — the reference's per-iteration
+    earlyExit/debug affordance (back_end_optimizer.hpp:888-927)."""
+    res = None
+    state = None
+    done_iters = 0
+    while done_iters < max_iters:
+        n = min(chunk, max_iters - done_iters)
+        res = minimize(
+            cost_and_grad, x0, aux0, m=m, max_iters=n,
+            resume_state=state, trace_len=chunk, **kw,
+        )
+        state = res.state
+        done_iters = int(res.n_iters)
+        if callback is not None and callback(res) is False:
+            break
+        if bool(res.converged):
+            break
+        # no progress (converged flag is folded into done inside the loop)
+        if done_iters == 0:
+            break
+    return res
