@@ -1,0 +1,84 @@
+"""Command-line runner — the demo/launch-file equivalent.
+
+Replaces `roslaunch plan_manager demoN.launch` + RViz (ref
+src/plan_manager/launch/demo*.launch): runs a demo or custom scenario,
+writes the trajectory CSV, the swept-volume mesh OBJ, the A* path, and a
+metrics JSON into an output directory.
+
+    python -m isdf_tpu.cli demo 1 --out /tmp/demo1 --iters 60
+    python -m isdf_tpu.cli bench-sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _cmd_demo(args):
+    import numpy as np
+
+    from isdf_tpu.demos import run_demo
+    from isdf_tpu.viz import export_obj, export_traj_csv, swept_volume_mesh
+
+    os.makedirs(args.out, exist_ok=True)
+    overrides = {}
+    if args.fast:
+        overrides = dict(
+            integralIntervs=16, sweep_coarse_samples=32,
+            sweep_refine_rounds=8, max_obstacle_points=1024,
+        )
+    t0 = time.time()
+    pm, res = run_demo(args.id, max_iters=args.iters, conf_overrides=overrides)
+    wall = time.time() - t0
+    metrics = {k: v for k, v in res.metrics.items()
+               if isinstance(v, (int, float, str, bool))}
+    metrics["wall_s"] = wall
+    metrics["success"] = bool(res.success)
+    if res.success:
+        metrics["min_swept_sdf"] = pm.audit_collision(res.traj)
+        export_traj_csv(os.path.join(args.out, "trajectory.csv"), res.traj)
+        np.savetxt(os.path.join(args.out, "astar_path.csv"), res.path,
+                   delimiter=",", header="x,y,z")
+        if args.swept_mesh:
+            tris = swept_volume_mesh(
+                pm.shape, res.traj, pm.params, resolution=args.mesh_res
+            )
+            export_obj(os.path.join(args.out, "swept_volume.obj"), tris)
+            metrics["swept_mesh_tris"] = int(len(tris))
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    print(json.dumps(metrics, default=str))
+
+
+def _cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="isdf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="run a reference demo scenario")
+    d.add_argument("id", type=int, choices=range(1, 7))
+    d.add_argument("--out", default="./out")
+    d.add_argument("--iters", type=int, default=None)
+    d.add_argument("--fast", action="store_true",
+                   help="reduced resolutions for CPU smoke runs")
+    d.add_argument("--swept-mesh", action="store_true")
+    d.add_argument("--mesh-res", type=float, default=0.25)
+    d.set_defaults(fn=_cmd_demo)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,22 @@ def bake_sdf_grid(V: np.ndarray, F: np.ndarray, resolution: float = 0.1,
     g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
     sdf = mesh_sdf(g, V, F)
     return sdf.reshape(tuple(size)).astype(np.float32), lo, resolution
+
+
+def face_normals(V: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """Outward unit face normals (ref igl::per_face_normals usage,
+    Shape.cpp:20 + hPoly assembly Shape.cpp:66-78)."""
+    a, b, c = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+    n = np.cross(b - a, c - b)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(ln, 1e-30)
+
+
+def h_poly(V: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """Half-space representation (F, 4): rows (nx, ny, nz, d) with
+    n·p + d = 0 on the face plane (ref Generalshape hPoly, Shape.cpp:66-78).
+    """
+    n = face_normals(V, F)
+    p0 = V[F[:, 1]]
+    d = -np.sum(n * p0, axis=1)
+    return np.concatenate([n, d[:, None]], axis=1)
