@@ -137,7 +137,7 @@ def batched_solve_chunked(shape, conf, batch: ScenarioBatch,
     short (very long device programs can trip runtime watchdogs) and gives
     between-chunk observability.  Returns (coeffs, T, costs, iters)."""
     params = fl.FlatParams.from_config(conf)
-    w = BackendWeights.from_config(conf)
+    w = backend.BackendWeights.from_config(conf)
     N = batch.T0.shape[1]
 
     def one(head, tail, q0, T0, points, mask, state):

@@ -63,3 +63,34 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestChunkedSolve:
+    def test_chunked_matches_monolithic(self, conf):
+        shape = make_shape("Ball", conf)
+        sb = pb.make_random_batch(conf, B=4, N=3, n_points=16, dtype=jnp.float64)
+        c1, T1, f1, i1 = pb.batched_solve(shape, conf, sb, max_iters=6)
+        c2, T2, f2, i2 = pb.batched_solve_chunked(shape, conf, sb,
+                                                  max_iters=6, chunk=2)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_minimize_chunked_rosenbrock(self):
+        from isdf_tpu.opt import lbfgs
+
+        def cg(x, aux):
+            f = lambda x: jnp.sum(
+                100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2
+            )
+            v, g = jax.value_and_grad(f)(x)
+            return v, g, aux
+
+        calls = []
+        res = lbfgs.minimize_chunked(
+            cg, jnp.zeros(6), None, max_iters=400, chunk=50,
+            callback=lambda r: calls.append(float(r.f)),
+        )
+        assert float(res.f) < 1e-9
+        assert len(calls) >= 1
+        assert calls == sorted(calls, reverse=True)  # monotone progress
