@@ -84,28 +84,26 @@ def main():
     sdf_evals_per_s = queries_per_s * evals_per_query
 
     # --- 2) batched plans/s --------------------------------------------------
-    B, n_pts, solve_iters = 256, 512, 40
+    # chunk=2: keeps each device program well under the runtime execution
+    # watchdog (a cold L-BFGS iteration can spend many line-search evals)
+    B, n_pts, solve_iters, chunk = 128, 512, 24, 2
     sb = pb.make_random_batch(conf, B=B, N=4, n_points=n_pts, dtype=dtype)
-    # chunked: keeps device programs short (runtime watchdog) and is the
-    # production execution mode (between-chunk observability)
-    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=8)
+    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=chunk)
     jax.block_until_ready(out[2])
     t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
-        out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=8)
+    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=chunk)
     jax.block_until_ready(out[2])
-    plan_dt = (time.perf_counter() - t0) / reps
+    plan_dt = time.perf_counter() - t0
     plans_per_s = B / plan_dt
 
     # --- 3) p50 single-plan latency ------------------------------------------
     sb1 = pb.make_random_batch(conf, B=1, N=4, n_points=n_pts, dtype=dtype)
-    out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=8)
+    out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=chunk)
     jax.block_until_ready(out[2])
     lats = []
-    for _ in range(10):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=8)
+        out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=chunk)
         jax.block_until_ready(out[2])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
