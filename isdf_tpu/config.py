@@ -108,6 +108,7 @@ class Config:
     sweep_coarse_samples: int = 128       # coarse time-grid resolution
     sweep_refine_rounds: int = 24         # fixed zoom/descent rounds
     max_obstacle_points: int = 4096       # static obstacle-point budget
+    safety_replan_rounds: int = 2         # post-audit violation re-solves
     dtype: str = "float32"
 
     # ------------------------------------------------------------------------

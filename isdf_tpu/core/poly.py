@@ -151,3 +151,52 @@ class PolyTraj(NamedTuple):
         start = self.coeffs[:, 0, :]                # value at s=0
         last = self.eval_local(self.n_pieces - 1, self.durations[-1], 0)
         return jnp.concatenate([start, last[None]], axis=0)
+
+    # -- exact max rates via polynomial roots (host-side; ref
+    #    trajectory.hpp getMaxVelRate/getMaxAccRate + root_finder.hpp) ------
+    def _max_rate_exact(self, order: int) -> float:
+        """Exact max ‖d^order pos/dt^order‖ over the trajectory.
+
+        The reference isolates the real roots of d/ds ‖f'(s)‖² with its
+        recursive root_finder (root_finder.hpp:1-1237); here the critical
+        points come from the companion-matrix eigenvalues of the same
+        derivative polynomial (numpy.roots) — a tiny host computation per
+        piece, exact to machine precision, used by audits/serving (not in
+        the jit hot path, where the sampled variants below suffice).
+        """
+        import numpy as np
+
+        best = 0.0
+        coeffs = np.asarray(self.coeffs, dtype=np.float64)  # (N, 6, 3)
+        durs = np.asarray(self.durations, dtype=np.float64)
+        for i in range(coeffs.shape[0]):
+            # derivative-of-interest coefficients, ascending powers
+            c = coeffs[i]
+            for _ in range(order):
+                c = c[1:] * np.arange(1, c.shape[0])[:, None]
+            # g(s) = ‖c(s)‖² ; critical points: g'(s) = 0
+            g = np.zeros(2 * c.shape[0] - 1)
+            for ax in range(3):
+                g += np.convolve(c[:, ax], c[:, ax])
+            dg = g[1:] * np.arange(1, len(g))
+            cand = [0.0, durs[i]]
+            if np.any(dg != 0.0):
+                r = np.roots(dg[::-1])
+                r = r[np.abs(r.imag) < 1e-9].real
+                cand += list(r[(r > 0.0) & (r < durs[i])])
+            s = np.asarray(cand)
+            val = np.polyval(g[::-1], s).max()
+            best = max(best, float(val))
+        return float(np.sqrt(max(best, 0.0)))
+
+    def max_vel_rate_exact(self) -> float:
+        return self._max_rate_exact(1)
+
+    def max_acc_rate_exact(self) -> float:
+        return self._max_rate_exact(2)
+
+    def check_feasibility(self, vmax: float, amax: float) -> bool:
+        """True iff max ‖v‖ ≤ vmax and max ‖a‖ ≤ amax (exact, host-side;
+        ref trajectory.hpp checkMaxVelRate/checkMaxAccRate)."""
+        return (self.max_vel_rate_exact() <= vmax
+                and self.max_acc_rate_exact() <= amax)

@@ -170,6 +170,36 @@ class PlannerManager:
         m["back_end_s"] = time.perf_counter() - t0
         m["back_end_iters"] = int(res.n_iters)
         m["back_end_evals"] = int(res.n_evals)
+
+        # 6. safety re-plan: the optimizer only sees a static obstacle-point
+        # budget; the reference sees EVERY AABB voxel (plan_manager.cpp:
+        # 246-254, unbounded std::vector).  Audit the swept volume against
+        # all nearby voxels; if any violate, inject them into the obstacle
+        # set (replacing the lowest-priority = farthest entries) and
+        # re-solve warm-started from the current trajectory.  Shapes are
+        # static, so the re-solve hits the same compiled executable.
+        for rnd in range(conf.safety_replan_rounds):
+            viol = self._audit_violations(traj)
+            if viol is None or len(viol) == 0:
+                break
+            pts_np = np.asarray(pts).copy()
+            mask_np = np.asarray(mask).copy()
+            k = min(len(viol), len(pts_np))
+            pts_np[-k:] = viol[:k]
+            mask_np[-k:] = True
+            pts, mask = pts_np, mask_np
+            q_ws = traj.junction_positions()[1:-1]
+            t0 = time.perf_counter()
+            traj, res = backend.optimize(
+                self.shape, conf, head, tail, q_ws, traj.durations,
+                jnp.asarray(pts), jnp.asarray(mask), max_iters=max_iters,
+            )
+            m["back_end_s"] += time.perf_counter() - t0
+            m["back_end_iters"] += int(res.n_iters)
+            m["back_end_evals"] += int(res.n_evals)
+            m["safety_replans"] = rnd + 1
+            m["injected_violations"] = int(k)
+
         m["final_cost"] = float(res.f)
         m["total_duration"] = float(traj.total_duration)
         m["cost_trace"] = np.asarray(res.history)
@@ -180,15 +210,15 @@ class PlannerManager:
         )
 
     # -- audits --------------------------------------------------------------
-    def audit_collision(self, traj, n_samples: int = 400) -> float:
-        """Minimum swept SDF over all occupied voxels near the trajectory —
-        a REAL collision check (the reference's isTrajCollide is a stub that
-        always returns false, sw_manager.hpp:764-767)."""
-        from isdf_tpu.sweep import sweep_sdf
+    def _audit_sdf(self, traj):
+        """Swept SDF at every occupied voxel near the trajectory.
 
-        ts = np.linspace(0, float(traj.total_duration), 64)
+        Returns (points (M,3) np, sdf (M,) np) or (None, None) if no voxels.
+        """
+        from isdf_tpu.sweep import sweep_sdf
         import jax
 
+        ts = np.linspace(0, float(traj.total_duration), 64)
         centers = jax.vmap(traj.pos)(jnp.asarray(ts))
         pts, mask = aabb.gather_aabb_points(
             self.gridmap, np.asarray(centers),
@@ -196,8 +226,27 @@ class PlannerManager:
             max_points=self.conf.max_obstacle_points,
         )
         if not mask.any():
+            return None, None
+        live = pts[mask]
+        sdf, _, _ = sweep_sdf(self.shape, traj, self.params, jnp.asarray(live))
+        return live, np.asarray(sdf)
+
+    def _audit_violations(self, traj, margin: float = 1e-3) -> Optional[np.ndarray]:
+        """Occupied voxel centers whose swept SDF ≤ margin, worst first."""
+        live, sdf = self._audit_sdf(traj)
+        if live is None:
+            return None
+        bad = sdf <= margin
+        if not bad.any():
+            return live[:0]
+        order = np.argsort(sdf[bad], kind="stable")
+        return live[bad][order]
+
+    def audit_collision(self, traj, n_samples: int = 400) -> float:
+        """Minimum swept SDF over all occupied voxels near the trajectory —
+        a REAL collision check (the reference's isTrajCollide is a stub that
+        always returns false, sw_manager.hpp:764-767)."""
+        live, sdf = self._audit_sdf(traj)
+        if live is None:
             return float("inf")
-        sdf, _, _ = sweep_sdf(
-            self.shape, traj, self.params, jnp.asarray(pts[mask])
-        )
-        return float(jnp.min(sdf))
+        return float(sdf.min())

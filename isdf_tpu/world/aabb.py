@@ -55,12 +55,22 @@ def gather_aabb_points(
     pts = np.full((max_points, 3), 1e6, dtype=np.float64)
     mask = np.zeros(max_points, dtype=bool)
     if n:
-        if n > max_points:
-            # keep a uniform subsample — report loudly, never silently drop.
-            keep = np.linspace(0, n - 1, max_points).astype(int)
-            out = [out[i] for i in keep]
-            n = max_points
         arr = np.asarray(out, dtype=np.float64)
-        pts[:n] = origin + (arr + 0.5) * res
+        world = origin + (arr + 0.5) * res
+        if n > max_points:
+            # over budget: keep the voxels CLOSEST to the waypoint path —
+            # truncation must drop far voxels (weak penalty contributors),
+            # never near ones (the reference uses all voxels unbounded,
+            # plan_manager.cpp:246-254; a static budget needs a priority).
+            wps = np.atleast_2d(waypoints)
+            dmin = np.full(n, np.inf)
+            for i in range(0, n, 65536):
+                blk = world[i : i + 65536]
+                d = np.linalg.norm(blk[:, None, :] - wps[None, :, :], axis=-1)
+                dmin[i : i + 65536] = d.min(axis=1)
+            keep = np.argsort(dmin, kind="stable")[:max_points]
+            world = world[keep]
+            n = max_points
+        pts[:n] = world
         mask[:n] = True
     return pts, mask

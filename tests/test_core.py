@@ -47,6 +47,26 @@ class TestPoly:
         np.testing.assert_allclose(np.array(g[:2]), -float(v) * np.ones(2), rtol=1e-9)
         assert abs(float(g[2])) < 1e-12
 
+    def test_max_rate_exact_vs_dense_sampling(self):
+        """Companion-matrix max rates (root_finder.hpp equivalent) must
+        dominate and closely match a dense-sampling estimate."""
+        key = jax.random.PRNGKey(7)
+        T = jnp.array([1.1, 0.9, 1.7])
+        C = rand(key, 3, 6, 3)
+        traj = PolyTraj(T, C)
+        ts = jnp.linspace(0.0, traj.total_duration, 20001)
+        v = jnp.linalg.norm(jax.vmap(traj.vel)(ts), axis=-1)
+        a = jnp.linalg.norm(jax.vmap(traj.acc)(ts), axis=-1)
+        v_ex = traj.max_vel_rate_exact()
+        a_ex = traj.max_acc_rate_exact()
+        assert v_ex >= float(v.max()) - 1e-9
+        assert a_ex >= float(a.max()) - 1e-9
+        np.testing.assert_allclose(v_ex, float(v.max()), rtol=1e-4)
+        np.testing.assert_allclose(a_ex, float(a.max()), rtol=1e-4)
+        big = max(v_ex, a_ex) + 1.0
+        assert traj.check_feasibility(big, big)
+        assert not traj.check_feasibility(v_ex * 0.99, big)
+
     def test_beta_matches_reference_rows(self):
         # ref back_end_optimizer.hpp:478-483 (beta0..beta4 at s1)
         s1 = 0.7
