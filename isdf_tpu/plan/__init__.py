@@ -1,2 +1,3 @@
 from isdf_tpu.plan.manager import PlannerManager, PlanResult  # noqa: F401
 from isdf_tpu.plan.traj_server import TrajServer  # noqa: F401
+from isdf_tpu.plan.closed_loop import FlightLog, fly_closed_loop  # noqa: F401

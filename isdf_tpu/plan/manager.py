@@ -72,7 +72,10 @@ class PlannerManager:
         self.gridmap = gm
         if use_pose_kernels:
             t0 = time.perf_counter()
-            self.pose_kernels = build_pose_kernels(self.shape, self.conf)
+            if self.pose_kernels is None:
+                # shape-only precompute — reused across map updates
+                # (closed-loop replanning rebuilds only the feasibility conv)
+                self.pose_kernels = build_pose_kernels(self.shape, self.conf)
             feas = pose_feasibility(gm.occ, self.pose_kernels.kernels)
             self.feasibility = np.asarray(feas)
             self.metrics.log("kernel_build_s", time.perf_counter() - t0)
@@ -105,7 +108,11 @@ class PlannerManager:
         return np.asarray(gm.index_to_world(jnp.asarray(best)))
 
     # -- full plan (ref targetRcvCallBack) -----------------------------------
-    def plan(self, start, goal, max_iters: Optional[int] = None) -> PlanResult:
+    def plan(self, start, goal, max_iters: Optional[int] = None,
+             start_vel=None, start_acc=None) -> PlanResult:
+        """start_vel/start_acc: initial derivative rows of the head state —
+        used by closed-loop replanning so the new trajectory continues the
+        current flight smoothly (the reference replans from rest)."""
         assert self.gridmap is not None, "call set_map first"
         conf = self.conf
         m: Dict[str, Any] = {}
@@ -145,6 +152,10 @@ class PlannerManager:
         m["parallel_points_num"] = int(mask.sum())
 
         head = jnp.zeros((3, 3)).at[:, 0].set(jnp.asarray(np.asarray(start, dtype=np.float64)))
+        if start_vel is not None:
+            head = head.at[:, 1].set(jnp.asarray(np.asarray(start_vel, dtype=np.float64)))
+        if start_acc is not None:
+            head = head.at[:, 2].set(jnp.asarray(np.asarray(start_acc, dtype=np.float64)))
         tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.asarray(np.asarray(goal, dtype=np.float64)))
         T0 = jnp.full(N, conf.inittime)
 

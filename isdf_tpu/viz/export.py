@@ -31,3 +31,26 @@ def export_traj_csv(path: str, traj, n: int = 500):
         for t, p, v in zip(ts, pos, vel):
             f.write(f"{t:.4f},{p[0]:.5f},{p[1]:.5f},{p[2]:.5f},"
                     f"{v[0]:.5f},{v[1]:.5f},{v[2]:.5f}\n")
+
+
+def sdf_time_curve(shape, traj, params, point, n: int = 512):
+    """SDF(t) samples of the body at a fixed world point over the whole
+    trajectory — the sdf_vis topic payload (ref src/sdf_vis/scripts/main.py:
+    plots /sdf_vis samples; ref sw_manager publishes per-point SDF(t)).
+    Returns (ts (n,), sdf (n,)) as NumPy arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from isdf_tpu.sweep.sweep_sdf import sdf_at_time
+
+    ts = jnp.linspace(0.0, traj.total_duration, n)
+    f = jax.vmap(lambda t: sdf_at_time(shape, traj, params, jnp.asarray(point), t))
+    return np.asarray(ts), np.asarray(f(ts))
+
+
+def export_sdf_curve_csv(path: str, shape, traj, params, point, n: int = 512):
+    ts, sdf = sdf_time_curve(shape, traj, params, point, n)
+    with open(path, "w") as f:
+        f.write("t,sdf\n")
+        for t, d in zip(ts, sdf):
+            f.write(f"{t:.5f},{d:.6f}\n")
