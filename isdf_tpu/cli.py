@@ -59,6 +59,55 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_closed_loop(args):
+    """Closed-loop replanning among moving obstacles (moving_obstacles +
+    fake_drone + traj_server composition)."""
+    import numpy as np
+
+    from isdf_tpu.config import Config
+    from isdf_tpu.plan import PlannerManager, fly_closed_loop
+    from isdf_tpu.world import MovingObstacle
+    from isdf_tpu.world.maps_gen import gene_wall
+
+    os.makedirs(args.out, exist_ok=True)
+    conf = Config(
+        mapBound=(0.0, 14.0, 0.0, 10.0, 0.0, 4.0),
+        occupancy_resolution=0.5, kernel_size=3, safety_hor=0.3,
+        integralIntervs=8, sweep_coarse_samples=16, sweep_refine_rounds=6,
+        max_obstacle_points=512, vmax=4.0, omgmax=6.0, thetamax=1.2,
+        mem_size=8,
+    )
+    pm = PlannerManager(conf, shape_name="Ball")
+    static = gene_wall(6.0, 0.0, 0.6, 3.5, 3.0, res=0.25)
+    rng = np.random.default_rng(args.seed)
+    obstacles = [
+        MovingObstacle(pos=rng.uniform((4, 2), (11, 8)), radius=0.4,
+                       height=3.0)
+        for _ in range(args.n_obstacles)
+    ]
+    t0 = time.time()
+    log = fly_closed_loop(
+        pm, static, obstacles,
+        start=np.array([1.0, 5.0, 2.0]), goal=np.array([13.0, 5.0, 2.0]),
+        replan_dt=args.replan_dt, max_time=args.max_time,
+        max_iters=args.iters, goal_tol=1.0, rng=rng,
+    )
+    wall = time.time() - t0
+    out = {
+        "reached": log.reached, "ticks": len(log.times),
+        "min_body_sdf": log.min_sdf, "replans": len(log.replan_wall_s),
+        "replan_p50_s": float(np.median(log.replan_wall_s))
+        if log.replan_wall_s else None,
+        "wall_s": wall,
+    }
+    np.savetxt(os.path.join(args.out, "flight.csv"),
+               np.column_stack([log.times, np.asarray(log.positions)]),
+               delimiter=",", header="t,x,y,z")
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="isdf_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -75,6 +124,16 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the benchmark harness")
     b.set_defaults(fn=_cmd_bench)
+
+    c = sub.add_parser("closed-loop",
+                       help="replanning flight among moving obstacles")
+    c.add_argument("--out", default="./out_cl")
+    c.add_argument("--n-obstacles", type=int, default=2)
+    c.add_argument("--replan-dt", type=float, default=1.5)
+    c.add_argument("--max-time", type=float, default=30.0)
+    c.add_argument("--iters", type=int, default=12)
+    c.add_argument("--seed", type=int, default=0)
+    c.set_defaults(fn=_cmd_closed_loop)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -109,6 +109,9 @@ class Config:
     sweep_refine_rounds: int = 24         # fixed zoom/descent rounds
     max_obstacle_points: int = 4096       # static obstacle-point budget
     safety_replan_rounds: int = 2         # post-audit violation re-solves
+    # waypoint-count buckets: plans resample the A* path to the next bucket
+    # size so repeated plans reuse compiled executables (0 = disabled)
+    piece_buckets: Tuple[int, ...] = (4, 6, 8, 12, 16, 24, 32, 48, 64)
     dtype: str = "float32"
 
     # ------------------------------------------------------------------------

@@ -129,6 +129,54 @@ def batched_solve(shape, conf, batch: ScenarioBatch, max_iters: int = 50):
     )
 
 
+def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, state):
+    params = fl.FlatParams.from_config(conf)
+    w = backend.BackendWeights.from_config(conf)
+    N = T0.shape[0]
+    x0 = backend.pack(timemap.T_to_tau(T0), q0)
+    cg = backend.make_cost_fn(
+        shape, params, w, head, tail, N, points, mask,
+        integral_res=conf.integralIntervs,
+        coarse_n=conf.sweep_coarse_samples,
+        refine_rounds=conf.sweep_refine_rounds,
+    )
+    t0 = jnp.zeros(points.shape[0], x0.dtype)
+    return lbfgs.minimize(
+        cg, x0, t0, m=conf.mem_size, max_iters=chunk,
+        g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol,
+        resume_state=state, trace_len=chunk,
+    )
+
+
+# module-level jits keyed on (shape, conf, chunk): repeated solves with the
+# same scenario shapes hit the XLA executable cache instead of re-tracing
+# (per-call jax.jit closures would recompile the WHOLE solver every call)
+@partial(jax.jit, static_argnames=("shape", "conf", "chunk"))
+def _chunk_first(shape, conf, chunk, batch: ScenarioBatch):
+    return jax.vmap(
+        lambda h, t, q, T, p, m: _chunk_one(
+            shape, conf, chunk, h, t, q, T, p, m, None)
+    )(batch.head, batch.tail, batch.q0, batch.T0, batch.points, batch.mask)
+
+
+@partial(jax.jit, static_argnames=("shape", "conf", "chunk"))
+def _chunk_cont(shape, conf, chunk, batch: ScenarioBatch, state):
+    return jax.vmap(
+        lambda h, t, q, T, p, m, s: _chunk_one(
+            shape, conf, chunk, h, t, q, T, p, m, s)
+    )(batch.head, batch.tail, batch.q0, batch.T0, batch.points, batch.mask,
+      state)
+
+
+@partial(jax.jit, static_argnames=("N",))
+def _finish_batch(N, head, tail, x):
+    def finish(h, t, xx):
+        traj, T, _ = backend.build_traj(xx, N, h, t)
+        return traj.coeffs, T
+
+    return jax.vmap(finish)(head, tail, x)
+
+
 def batched_solve_chunked(shape, conf, batch: ScenarioBatch,
                           max_iters: int = 50, chunk: int = 8,
                           callback=None):
@@ -136,48 +184,18 @@ def batched_solve_chunked(shape, conf, batch: ScenarioBatch,
     full solver state carried across calls.  Keeps single XLA executions
     short (very long device programs can trip runtime watchdogs) and gives
     between-chunk observability.  Returns (coeffs, T, costs, iters)."""
-    params = fl.FlatParams.from_config(conf)
-    w = backend.BackendWeights.from_config(conf)
     N = batch.T0.shape[1]
-
-    def one(head, tail, q0, T0, points, mask, state):
-        x0 = backend.pack(timemap.T_to_tau(T0), q0)
-        cg = backend.make_cost_fn(
-            shape, params, w, head, tail, N, points, mask,
-            integral_res=conf.integralIntervs,
-            coarse_n=conf.sweep_coarse_samples,
-            refine_rounds=conf.sweep_refine_rounds,
-        )
-        t0 = jnp.zeros(points.shape[0], x0.dtype)
-        res = lbfgs.minimize(
-            cg, x0, t0, m=conf.mem_size, max_iters=chunk,
-            g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol,
-            resume_state=state, trace_len=chunk,
-        )
-        return res
-
-    first = jax.jit(jax.vmap(
-        lambda h, t, q, T, p, m: one(h, t, q, T, p, m, None)
-    ))
-    cont = jax.jit(jax.vmap(one))
-
-    res = first(batch.head, batch.tail, batch.q0, batch.T0,
-                batch.points, batch.mask)
+    res = _chunk_first(shape, conf, chunk, batch)
     iters_done = chunk
     while iters_done < max_iters:
         if callback is not None:
             callback(res)
         if bool(jnp.all(res.converged)):
             break
-        res = cont(batch.head, batch.tail, batch.q0, batch.T0,
-                   batch.points, batch.mask, res.state)
+        res = _chunk_cont(shape, conf, chunk, batch, res.state)
         iters_done += chunk
 
-    def finish(head, tail, x):
-        traj, T, _ = backend.build_traj(x, N, head, tail)
-        return traj.coeffs, T
-
-    coeffs, T = jax.jit(jax.vmap(finish))(batch.head, batch.tail, res.x)
+    coeffs, T = _finish_batch(N, batch.head, batch.tail, res.x)
     return coeffs, T, res.f, res.n_iters
 
 

@@ -45,6 +45,18 @@ class PlanResult:
     metrics: Dict[str, Any] = field(default_factory=dict)
 
 
+def _resample_by_arclength(path: np.ndarray, n: int) -> np.ndarray:
+    """n interior waypoints uniformly spaced along the path's arclength."""
+    seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1] if s[-1] > 0 else 1.0
+    targets = np.linspace(0.0, total, n + 2)[1:-1]
+    out = np.empty((n, 3))
+    for ax in range(3):
+        out[:, ax] = np.interp(targets, s, path[:, ax])
+    return out
+
+
 class PlannerManager:
     def __init__(self, conf: Config, shape: Optional[Shape] = None,
                  shape_name: Optional[str] = None):
@@ -133,11 +145,17 @@ class PlannerManager:
         if not fr.success:
             return PlanResult(False, metrics=m)
 
-        # 2. subsample waypoints
+        # 2. subsample waypoints; bucket the count so repeated plans with
+        # similar path lengths reuse the same compiled solver executable
         idxs = subsample_waypoints(
             fr.path, conf.occupancy_resolution, conf.traj_parlength
         )
-        Q = fr.path[idxs]
+        n_q = len(idxs)
+        buckets = [b for b in conf.piece_buckets if b >= n_q]
+        if buckets and buckets[0] != n_q:
+            Q = _resample_by_arclength(fr.path, buckets[0])
+        else:
+            Q = fr.path[idxs]
         N = len(Q) + 1
         m["n_pieces"] = N
 
