@@ -27,7 +27,18 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: compiles over the axon TPU tunnel are very
+    # slow (~minutes for the fused sweep program); cache them across runs so
+    # the driver's bench invocation pays compile cost at most once.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import jax.numpy as jnp
 
     from isdf_tpu.config import Config

@@ -44,6 +44,20 @@ def gene_sin_plane(ox, oy, cz, ex, ey, t, h, res=0.1, rng=None):
     return g
 
 
+def gene_triangle(ox, oy, height, depth, length, oz=0.0, res=0.1, rng=None):
+    """Triangular prism wedge: vertical face at x=ox tapering to a ridge
+    (ref globalmap_gene.cpp:66-106 geneTrangle)."""
+    zs = np.arange(oz, oz + height, res)
+    parts = []
+    for z in zs:
+        frac = 1.0 - (z - oz) / max(height, 1e-9)
+        d = depth * frac
+        if d < res:
+            d = res
+        parts.append(gene_wall(ox, oy, d, length, res, oz=z, res=res, rng=rng))
+    return np.concatenate(parts, axis=0)
+
+
 def gene_road(start, end, width, res=0.1, rng=None):
     start, end = np.asarray(start, float), np.asarray(end, float)
     d = end - start
@@ -77,6 +91,89 @@ def gene_spiral(cx, cy, oz, ez, radius, width, t, res=0.1, rng=None):
 
 
 # --- named demo maps (ids follow globalmap_gene.cpp:405-418) ----------------
+def map1(res=0.1, seed=0):
+    """Two stacked gate walls (ref globalmap_gene.cpp:174-182)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(50, 20, 0.2, 0.2, 3.0, oz=15.0, res=res, rng=rng),
+        gene_wall(25.0, 0.0, 2.0, 10.0, 5.0, res=res, rng=rng),
+        gene_wall(25.0, 0.0, 2.0, 10.0, 5.0, oz=7.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map6(res=0.1, seed=0):
+    """Empty arena with corner anchor posts (ref globalmap_gene.cpp:325-330)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map7(res=0.1, seed=0):
+    """Multi-opening wall maze at x=30 (ref globalmap_gene.cpp:332-350)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+        gene_wall(30, 0, 1.1, 60.0, 8.0, res=res, rng=rng),
+        gene_wall(30, 0, 1.1, 25.0, 7.0, oz=5.0, res=res, rng=rng),
+        gene_wall(30, 35.0, 1.1, 25.0, 7.0, oz=5.0, res=res, rng=rng),
+        gene_wall(30, 0.0, 1.1, 21.0, 9.0, oz=12.0, res=res, rng=rng),
+        gene_wall(30, 39.0, 1.1, 21.0, 9.0, oz=12.0, res=res, rng=rng),
+        gene_wall(30, 0.0, 1.1, 60.0, 4.0, oz=21.0, res=res, rng=rng),
+        gene_wall(30, 28.0, 1.1, 4.0, 2.0, oz=14.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map8(res=0.1, seed=0):
+    """Arena with a single isolated obstacle point at its center
+    (ref globalmap_gene.cpp:352-364)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+        np.array([[30.0, 30.0, 2.0]]),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map10(res=0.1, seed=0):
+    """Three tall parallel walls + a high cross-bar + floor slab
+    (ref globalmap_gene.cpp:229-248)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(50, 50, 0.2, 0.2, 3.0, oz=15.0, res=res, rng=rng),
+        gene_wall(10.0, 0.0, 2.0, 50.0, 35.0, res=res, rng=rng),
+        gene_wall(25.0, 0.0, 2.0, 50.0, 35.0, res=res, rng=rng),
+        gene_wall(40.0, 0.0, 2.0, 50.0, 35.0, res=res, rng=rng),
+        gene_wall(10.0, 49.0, 30.0, 1.0, 35.0, res=res, rng=rng),
+        gene_wall(0.0, 0.0, 50.0, 50.0, 1.0, oz=-1.0, res=res, rng=rng),
+    ]
+    return np.concatenate(parts, axis=0)
+
+
+def map11(res=0.1, seed=0, num=300):
+    """Dense random small-block field (ref globalmap_gene.cpp:282-311)."""
+    rng = np.random.default_rng(seed)
+    parts = [
+        gene_wall(0, 0, 0.2, 0.2, 3.0, res=res, rng=rng),
+        gene_wall(60, 60, 0.2, 0.2, 3.0, oz=35.0, res=res, rng=rng),
+    ]
+    side = 1.5 * res
+    for _ in range(num):
+        x = (rng.integers(0, 450) + 15) / 10
+        y = (rng.integers(0, 450) + 15) / 10
+        z = (rng.integers(0, 250) + 50) / 10
+        parts.append(gene_wall(x, y, side, side, side, oz=z, res=res, rng=rng))
+    return np.concatenate(parts, axis=0)
+
+
 def map3(res=0.1, seed=0):
     """Three consecutive narrow-slit walls (demo6's map)."""
     rng = np.random.default_rng(seed)
@@ -166,11 +263,17 @@ def map_random_forest(res=0.1, seed=0, trees=20, area=60.0, start=(0.0, 0.0)):
 
 
 MAP_GENERATORS = {
+    1: map1,
     2: map_random_forest,
     3: map3,
     4: map4,
     5: map5,
+    6: map6,
+    7: map7,
+    8: map8,
     9: map9,
+    10: map10,
+    11: map11,
 }
 
 

@@ -94,6 +94,27 @@ class TestMapsGen:
         c = maps_gen.generate(4, res=0.3, seed=6)
         assert a.shape != c.shape or not np.allclose(a, c)
 
+    def test_all_eleven_map_ids(self):
+        # ref globalmap_gene.cpp:405-418 dispatches ids 1-11
+        for i in range(1, 12):
+            pts = maps_gen.generate(i, res=0.4, seed=2)
+            assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 0
+
+    def test_map7_maze_openings(self):
+        pts = maps_gen.generate(7, res=0.3)
+        gm = GridMap.from_points(pts, (0, 60, 0, 60, 0, 35), 0.5)
+        occ = np.asarray(gm.occ)
+        xi = int(30.5 / 0.5)
+        # window y∈[26,36)×z∈[8,12) is free; base wall z<8 is occupied
+        assert not occ[xi, int(30 / 0.5), int(10.0 / 0.5)]
+        assert occ[xi, int(30 / 0.5), int(3.0 / 0.5)]
+
+    def test_triangle_tapers(self):
+        tri = maps_gen.gene_triangle(0.0, 0.0, 4.0, 3.0, 6.0, res=0.2)
+        base = tri[tri[:, 2] < 0.3]
+        top = tri[tri[:, 2] > 3.5]
+        assert base[:, 0].max() > top[:, 0].max() + 1.0
+
     def test_map5_slit(self):
         pts = maps_gen.generate(5, res=0.3)
         gm = GridMap.from_points(pts, (0, 60, 0, 60, 0, 35), 0.5)
