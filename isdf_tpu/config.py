@@ -105,6 +105,12 @@ class Config:
     # --- TPU-build specific knobs (no reference equivalent) ------------------
     traj_parlength: float = 3.0           # waypoint subsample arc length
     # ^ ref plan_manager.cpp:153 hardcodes traj_parlength = 3.0
+    attitude_bridge: bool = True          # hold attitude between rolled
+    # waypoints (geodesic-lerped refs; see opt/attitude.attitude_penalty)
+    weight_ar_backend: float = 0.0        # back-end attitude anchor weight
+    # (no reference equivalent; opt-in — anchors the SE(3) warm-start roll
+    # against being unwound mid-crossing, but over-constrains scenes where
+    # gentler poses suffice — see opt/backend.make_cost_fn)
     sweep_coarse_samples: int = 128       # coarse time-grid resolution
     sweep_refine_rounds: int = 24         # fixed zoom/descent rounds
     max_obstacle_points: int = 4096       # static obstacle-point budget

@@ -35,6 +35,37 @@ def hat(w):
     ).reshape(w.shape[:-1] + (3, 3))
 
 
+def exp_rotvec(v):
+    """Rotation vector (..., 3) → rotation matrix (Rodrigues), batched,
+    autodiff-safe at ‖v‖ → 0 (series-expanded coefficients)."""
+    th2 = jnp.sum(v * v, axis=-1)
+    th = jnp.sqrt(th2 + 1e-30)
+    small = th < 1e-4
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)        # sinθ/θ
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2)
+    K = hat(v)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def log_rot(R):
+    """Rotation matrix → rotation vector (..., 3), batched; valid away from
+    the π-rotation branch cut (our attitude references are ≤ ~64°)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_th = jnp.clip(0.5 * (tr - 1.0), -1.0 + 1e-7, 1.0 - 1e-7)
+    th = jnp.arccos(cos_th)
+    w = 0.5 * jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )  # = axis·sinθ
+    scale = jnp.where(th < 1e-4, 1.0 + th * th / 6.0, th / jnp.sin(th))
+    return w * scale[..., None]
+
+
 def rpy_to_rot(roll, pitch, yaw):
     """ZYX euler (applied as Rz(yaw)·Ry(pitch)·Rx(roll)) → rotation matrix."""
     roll, pitch, yaw = (jnp.asarray(a) for a in (roll, pitch, yaw))

@@ -45,7 +45,15 @@ _COMMON = dict(
     vehicleMass=0.61, gravAcc=9.8, horizDrag=0.10, vertDrag=0.10,
     parasDrag=0.01, speedEps=1.0e-4,
     weight_v=1000.0, weight_a=1000.0, weight_p=4000.0, weight_pr=1000.0,
-    weight_ar=32000.0, weight_omg=1000.0, weight_theta=1000.0,
+    # weight_ar: the reference YAMLs say 32000, but that value belongs to the
+    # attitude penalty the reference never invokes (addTimeIntPenalty is not
+    # called by mid_end's costFunction).  Our wired implementation adds
+    # peak-hold ref resampling + window bridging, which roughly triples the
+    # effective tracking strength; 2000 is calibrated so demo6 (L-shape
+    # through map3 slits) and the synthetic slit tests are all collision-free
+    # — attitude refs are guidance for the swept-SDF penalty, not a hard
+    # constraint.
+    weight_ar=2000.0, weight_omg=1000.0, weight_theta=1000.0,
 )
 
 
@@ -79,6 +87,9 @@ DEMOS = {
             rho=380.0, safety_hor=0.866,
         )),
         pcd="Bendlinear_big.pcd",
+        # endpoints picked in deep zero-pose-feasible free space (the
+        # reference takes interactive RViz clicks; there is no canonical pair)
+        start=(11.5, 4.5, 2.5), goal=(45.5, 45.5, 2.5),
     ),
     3: DemoSpec(
         3,
@@ -90,6 +101,9 @@ DEMOS = {
             rho=380.0, safety_hor=0.866,
         )),
         pcd="SmoothIntersection.pcd",
+        # deep-free endpoints: the 6.5 m-wide body collides at the generic
+        # (2,2,2) corner start (see demo2 note)
+        start=(16.5, 4.5, 2.5), goal=(35.5, 43.5, 2.5),
     ),
     4: DemoSpec(
         4,

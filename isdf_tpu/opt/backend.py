@@ -153,10 +153,18 @@ class CostBreakdown(NamedTuple):
 def make_cost_fn(shape, params: fl.FlatParams, w: BackendWeights,
                  head, tail, N: int, points, mask,
                  integral_res: int = 64, coarse_n: int = 64,
-                 refine_rounds: int = 16, with_breakdown: bool = False):
+                 refine_rounds: int = 16, with_breakdown: bool = False,
+                 att=None, weight_ar: float = 0.0, bridge: bool = True):
     """Build cost_and_grad(x, aux) for opt.lbfgs / opt.lmbm.
 
     aux = t* warm starts (P,) threaded across outer iterations.
+
+    att/weight_ar: optional (N+1,3,3) junction attitude references + weight
+    (opt/attitude.py).  The reference's back end has no attitude term; we
+    expose one because in needle's-eye passages the swept-SDF penalty's
+    local gradients alone can unwind the warm start's roll mid-crossing
+    (an S-flip local minimum) — the anchor keeps the solution in the
+    attitude basin the SE(3) front end certified.
     """
 
     def raw_cost(x, t_warm):
@@ -164,6 +172,13 @@ def make_cost_fn(shape, params: fl.FlatParams, w: BackendWeights,
         e = minco.energy(traj.coeffs, T)
         t_cost = w.rho * jnp.sum(T)
         dyn = integral_penalty(traj, params, w, integral_res)
+        if att is not None and weight_ar > 0.0:
+            from isdf_tpu.opt.attitude import attitude_penalty
+
+            dyn = dyn + attitude_penalty(
+                traj, params, att, weight_ar, w.smooth_fac, integral_res,
+                bridge=bridge,
+            )
         safety, t_star = swept_penalty(
             shape, traj, params, w, points, mask, t_warm,
             coarse_n, refine_rounds,
@@ -196,6 +211,7 @@ def optimize(
     max_iters: Optional[int] = None,
     method: str = "lbfgs",
     params=None,
+    rot_refs=None,
 ):
     """Full back-end solve (ref optimize_traj_lmbm, back_end_optimizer.cpp:99).
 
@@ -211,11 +227,18 @@ def optimize(
     x0 = pack(timemap.T_to_tau(T0), q0)
     if t_warm0 is None:
         t_warm0 = jnp.zeros(points.shape[0], x0.dtype)
+    att = None
+    if rot_refs is not None and conf.weight_ar_backend > 0.0:
+        from isdf_tpu.opt.attitude import pad_attitude_refs
+
+        att = pad_attitude_refs(rot_refs, x0.dtype)
     cost_and_grad = make_cost_fn(
         shape, params, w, head, tail, N, points, mask,
         integral_res=conf.integralIntervs,
         coarse_n=conf.sweep_coarse_samples,
         refine_rounds=conf.sweep_refine_rounds,
+        att=att, weight_ar=conf.weight_ar_backend,
+        bridge=conf.attitude_bridge,
     )
     iters = max_iters if max_iters is not None else conf.max_iterations
     if method == "lmbm":

@@ -87,10 +87,12 @@ def _two_loop(g, S, Y, rho, n_corr, head, m):
     return r
 
 
-def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9):
+def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9,
+                 step0=None):
     """Lewis–Overton bisection line search for weak Wolfe conditions
     (armijo + weak curvature), robust on nonsmooth objectives
-    (ref lbfgs.hpp:290)."""
+    (ref lbfgs.hpp:290).  step0: initial trial step (ref lbfgs.hpp:565
+    uses 1/‖d‖ on the first iteration where d = −g can be huge)."""
     dg0 = jnp.dot(g0, d)
     big = jnp.asarray(jnp.inf, f0.dtype)
 
@@ -101,7 +103,13 @@ def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9):
     def body(c):
         step, lo, hi, f, g, aux2, k, ok, evals = c
         xt = x + step * d
-        ft, gt, auxt = cost_and_grad(xt, aux2)
+        # aux (t* warm seeds) is FROZEN during the search: every trial
+        # evaluates the same function f(·, aux).  Threading each trial's
+        # refreshed t* would change the objective mid-search (a deeper argmin
+        # raises the penalty), making tiny steps look like ascent and failing
+        # the search spuriously.  The accepted trial's refreshed aux (auxt)
+        # is still carried out for the next outer iteration.
+        ft, gt, auxt = cost_and_grad(xt, aux)
         evals = evals + 1
         armijo = ft <= f0 + c1 * step * dg0
         curv = jnp.dot(gt, d) >= c2 * dg0
@@ -119,8 +127,10 @@ def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9):
         )
         return (step_new, lo_new, hi_new, ft, gt, auxt, k + 1, ok_new, evals)
 
+    if step0 is None:
+        step0 = jnp.asarray(1.0, f0.dtype)
     init = (
-        jnp.asarray(1.0, f0.dtype), jnp.asarray(0.0, f0.dtype), big,
+        jnp.asarray(step0, f0.dtype), jnp.asarray(0.0, f0.dtype), big,
         f0, g0, aux, jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
@@ -186,16 +196,32 @@ def minimize(
         return (~st.done) & (st.it < it_end)
 
     def body(st: _State):
-        d = -_two_loop(st.g, st.S, st.Y, st.rho, st.n_corr, st.head, m)
+        # Re-evaluate the baseline at (x, aux): st.f/st.g were computed under
+        # the PREVIOUS iteration's aux (t* warm seeds); with refreshed seeds
+        # the penalty's argmin can be deeper, so the objective f(·, aux) the
+        # line search minimizes this iteration differs from st.f by a small
+        # drift.  An inconsistent baseline makes every trial look like ascent
+        # near convergence and kills the search spuriously (the reference's
+        # lastTstar has the same drift; LMBM tolerates it as noise, a Wolfe
+        # line search must not).
+        f0, g0, _ = cost_and_grad(st.x, st.aux)
+        d = -_two_loop(g0, st.S, st.Y, st.rho, st.n_corr, st.head, m)
         # ensure descent; fall back to -g
-        dg = jnp.dot(d, st.g)
-        d = jnp.where(dg < 0, d, -st.g)
+        dg = jnp.dot(d, g0)
+        d = jnp.where(dg < 0, d, -g0)
+        # without curvature pairs d = −g, whose norm can be enormous on stiff
+        # penalties; scale the first trial step like LBFGS-Lite
+        # (ref lbfgs.hpp:565: step = 1/‖d‖ at k = 1)
+        dnorm = jnp.linalg.norm(d)
+        step0 = jnp.where(
+            st.n_corr > 0, 1.0, 1.0 / jnp.maximum(dnorm, 1.0)
+        ).astype(st.f.dtype)
         step, f, g, aux, ok, ls_evals = _line_search(
-            cost_and_grad, st.x, st.f, st.g, d, st.aux, max_ls
+            cost_and_grad, st.x, f0, g0, d, st.aux, max_ls, step0=step0
         )
         x_new = st.x + step * d
         s = x_new - st.x
-        y = g - st.g
+        y = g - g0
         sy = jnp.dot(s, y)
         good = ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y))
         S = jnp.where(good, st.S.at[st.head].set(s), st.S)
@@ -214,7 +240,7 @@ def minimize(
         return _State(
             x=x_new, f=f, g=g, aux=aux, S=S, Y=Y, rho=rho,
             n_corr=n_corr, head=head, it=st.it + 1,
-            evals=st.evals + ls_evals, done=done,
+            evals=st.evals + ls_evals + 1, done=done,
             fpast=st.fpast.at[(st.it + 1) % past].set(f),
             trace=st.trace.at[st.it % st.trace.shape[0]].set(f),
         )

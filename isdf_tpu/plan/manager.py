@@ -45,8 +45,17 @@ class PlanResult:
     metrics: Dict[str, Any] = field(default_factory=dict)
 
 
-def _resample_by_arclength(path: np.ndarray, n: int) -> np.ndarray:
-    """n interior waypoints uniformly spaced along the path's arclength."""
+def _resample_by_arclength(path: np.ndarray, n: int, *extras) -> tuple:
+    """n interior waypoints uniformly spaced along the path's arclength.
+
+    Any `extras` (per-node angle arrays: A* rolls/pitches) are resampled by
+    PEAK-HOLD: each waypoint takes the largest-|angle| node value within its
+    half-spacing arclength cell.  Linear interpolation would dilute the A*
+    pose span (a −45° node midway between two waypoints becomes −22° at
+    both), losing exactly the attitude information the narrow-passage
+    waypoints exist to carry; peak-hold guarantees every rolled node is
+    represented at full strength by its nearest waypoint.
+    """
     seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
     s = np.concatenate([[0.0], np.cumsum(seg)])
     total = s[-1] if s[-1] > 0 else 1.0
@@ -54,7 +63,40 @@ def _resample_by_arclength(path: np.ndarray, n: int) -> np.ndarray:
     out = np.empty((n, 3))
     for ax in range(3):
         out[:, ax] = np.interp(targets, s, path[:, ax])
-    return out
+    h = 0.5 * (targets[1] - targets[0]) if n > 1 else 0.5 * total
+    held = []
+    for e in extras:
+        e = np.asarray(e)
+        v = np.empty(n)
+        for i, t in enumerate(targets):
+            cell = (s >= t - h) & (s <= t + h)
+            if cell.any():
+                ec = e[cell]
+                v[i] = ec[np.argmax(np.abs(ec))]
+            else:
+                v[i] = np.interp(t, s, e)
+        held.append(v)
+    return (out,) + tuple(held)
+
+
+def _rp_to_rot(rolls: np.ndarray, pitches: np.ndarray) -> np.ndarray:
+    """Per-waypoint attitude references R = Rx(roll)·Ry(pitch) — the same
+    convention as the pose-kernel voxelization (search/pose_kernels.py
+    one_pose; ref Shape.hpp:423-440 kernel pose loop)."""
+    cr, sr = np.cos(rolls), np.sin(rolls)
+    cp, sp = np.cos(pitches), np.sin(pitches)
+    n = len(rolls)
+    R = np.zeros((n, 3, 3))
+    # Rx(r) @ Ry(p)
+    R[:, 0, 0] = cp
+    R[:, 0, 2] = sp
+    R[:, 1, 0] = sr * sp
+    R[:, 1, 1] = cr
+    R[:, 1, 2] = -sr * cp
+    R[:, 2, 0] = -cr * sp
+    R[:, 2, 1] = sr
+    R[:, 2, 2] = cr * cp
+    return R
 
 
 class PlannerManager:
@@ -153,11 +195,25 @@ class PlannerManager:
         n_q = len(idxs)
         buckets = [b for b in conf.piece_buckets if b >= n_q]
         if buckets and buckets[0] != n_q:
-            Q = _resample_by_arclength(fr.path, buckets[0])
+            Q, wp_rolls, wp_pitches = _resample_by_arclength(
+                fr.path, buckets[0], fr.rolls, fr.pitches
+            )
         else:
             Q = fr.path[idxs]
+            wp_rolls, wp_pitches = fr.rolls[idxs], fr.pitches[idxs]
         N = len(Q) + 1
         m["n_pieces"] = N
+
+        # per-waypoint attitude references from the A* SE(3) poses (ref
+        # rot_list collection, plan_manager.cpp:232-254) — fed to the mid-end
+        # attitude penalty.  Skipped when pose kernels are off (no attitude
+        # information exists) or every pose is trivially zero.
+        rot_refs = None
+        if (self.pose_kernels is not None and conf.weight_ar > 0.0
+                and (np.abs(wp_rolls).max(initial=0.0) > 1e-9
+                     or np.abs(wp_pitches).max(initial=0.0) > 1e-9)):
+            rot_refs = _rp_to_rot(wp_rolls, wp_pitches)
+            m["attitude_refs"] = True
 
         # 3. obstacle gather
         t0 = time.perf_counter()
@@ -180,7 +236,7 @@ class PlannerManager:
         # 4. mid end
         t0 = time.perf_counter()
         ori_traj, opt_x, mid_res = midend.get_ori_traj(
-            conf, head, tail, jnp.asarray(Q), T0
+            conf, head, tail, jnp.asarray(Q), T0, rot_refs=rot_refs,
         )
         m["mid_end_s"] = time.perf_counter() - t0
         m["mid_end_iters"] = int(mid_res.n_iters)
@@ -194,7 +250,7 @@ class PlannerManager:
             self.shape, conf, head, tail, q_ws,
             timemap.tau_to_T(tau),
             jnp.asarray(pts), jnp.asarray(mask),
-            max_iters=max_iters,
+            max_iters=max_iters, rot_refs=rot_refs,
         )
         m["back_end_s"] = time.perf_counter() - t0
         m["back_end_iters"] = int(res.n_iters)
@@ -208,20 +264,38 @@ class PlannerManager:
         # re-solve warm-started from the current trajectory.  Shapes are
         # static, so the re-solve hits the same compiled executable.
         for rnd in range(conf.safety_replan_rounds):
-            viol = self._audit_violations(traj)
+            viol, viol_t = self._audit_violations(traj)
             if viol is None or len(viol) == 0:
                 break
             pts_np = np.asarray(pts).copy()
             mask_np = np.asarray(mask).copy()
             k = min(len(viol), len(pts_np))
-            pts_np[-k:] = viol[:k]
-            mask_np[-k:] = True
+            # eviction priority: free (masked-off) padding slots first, then
+            # live entries farthest from the waypoint path — the "replace
+            # lowest-priority" intent (mirrors world/aabb.py's path-priority
+            # truncation when the gather runs over budget)
+            d_path = np.min(
+                np.linalg.norm(pts_np[:, None, :] - Q[None, :, :], axis=-1),
+                axis=1,
+            )
+            slot_prio = np.where(mask_np, d_path, np.inf)   # evict inf first
+            evict = np.argsort(-slot_prio, kind="stable")[:k]
+            pts_np[evict] = viol[:k]
+            mask_np[evict] = True
             pts, mask = pts_np, mask_np
+            # seed every obstacle point's argmin-time warm start from the
+            # audit's high-resolution t*: injected violations are visible to
+            # the penalty immediately, even when the optimizer's coarser scan
+            # would alias over a thin-wall crossing dip
+            t_warm_np = np.zeros(len(pts_np), dtype=np.asarray(pts_np).dtype)
+            t_warm_np[evict] = viol_t[:k]
             q_ws = traj.junction_positions()[1:-1]
             t0 = time.perf_counter()
             traj, res = backend.optimize(
                 self.shape, conf, head, tail, q_ws, traj.durations,
-                jnp.asarray(pts), jnp.asarray(mask), max_iters=max_iters,
+                jnp.asarray(pts), jnp.asarray(mask),
+                t_warm0=jnp.asarray(t_warm_np), max_iters=max_iters,
+                rot_refs=rot_refs,
             )
             m["back_end_s"] += time.perf_counter() - t0
             m["back_end_iters"] += int(res.n_iters)
@@ -242,12 +316,20 @@ class PlannerManager:
     def _audit_sdf(self, traj):
         """Swept SDF at every occupied voxel near the trajectory.
 
-        Returns (points (M,3) np, sdf (M,) np) or (None, None) if no voxels.
+        Returns (points (M,3), sdf (M,), t_star (M,)) np or (None,)*3.
+
+        The coarse time resolution is *duration-adaptive* (dt ≤ 0.1 s,
+        bucketed powers of two for executable reuse): a fixed sample count
+        aliases over thin-obstacle crossings, whose SDF dip lasts roughly
+        (wall + body thickness)/speed seconds regardless of total duration
+        (the reference scans at absolute dt ≈ 0.15–0.2 s, choiceTInit
+        sw_manager.hpp:367-445).
         """
         from isdf_tpu.sweep import sweep_sdf
         import jax
 
-        ts = np.linspace(0, float(traj.total_duration), 64)
+        total = float(traj.total_duration)
+        ts = np.linspace(0, total, 64)
         centers = jax.vmap(traj.pos)(jnp.asarray(ts))
         pts, mask = aabb.gather_aabb_points(
             self.gridmap, np.asarray(centers),
@@ -255,27 +337,36 @@ class PlannerManager:
             max_points=self.conf.max_obstacle_points,
         )
         if not mask.any():
-            return None, None
+            return None, None, None
         live = pts[mask]
-        sdf, _, _ = sweep_sdf(self.shape, traj, self.params, jnp.asarray(live))
-        return live, np.asarray(sdf)
+        need = total / 0.1
+        coarse_n = 64
+        while coarse_n < need and coarse_n < 2048:
+            coarse_n *= 2
+        sdf, t_star, _ = sweep_sdf(
+            self.shape, traj, self.params, jnp.asarray(live),
+            coarse_n=coarse_n,
+        )
+        return live, np.asarray(sdf), np.asarray(t_star)
 
-    def _audit_violations(self, traj, margin: float = 1e-3) -> Optional[np.ndarray]:
-        """Occupied voxel centers whose swept SDF ≤ margin, worst first."""
-        live, sdf = self._audit_sdf(traj)
+    def _audit_violations(self, traj, margin: float = 1e-3):
+        """(voxel centers, argmin times) whose swept SDF ≤ margin, worst
+        first.  The t* values seed the re-solve's warm starts so the
+        optimizer's (coarser) argmin scan cannot alias over the violation."""
+        live, sdf, t_star = self._audit_sdf(traj)
         if live is None:
-            return None
+            return None, None
         bad = sdf <= margin
         if not bad.any():
-            return live[:0]
+            return live[:0], t_star[:0]
         order = np.argsort(sdf[bad], kind="stable")
-        return live[bad][order]
+        return live[bad][order], t_star[bad][order]
 
     def audit_collision(self, traj, n_samples: int = 400) -> float:
         """Minimum swept SDF over all occupied voxels near the trajectory —
         a REAL collision check (the reference's isTrajCollide is a stub that
         always returns false, sw_manager.hpp:764-767)."""
-        live, sdf = self._audit_sdf(traj)
+        live, sdf, _ = self._audit_sdf(traj)
         if live is None:
             return float("inf")
         return float(sdf.min())

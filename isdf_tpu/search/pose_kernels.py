@@ -60,6 +60,19 @@ def _voxelize(shape, rolls_rad, pitches_rad, kernel_size: int, res, safemargin):
 
 
 def build_pose_kernels(shape, conf) -> PoseKernels:
+    # a kernel smaller than the body silently truncates it, making the A*
+    # feasibility volume optimistic (poses "fit" that physically cannot)
+    half = 0.5 * (conf.kernel_size - 1) * conf.occupancy_resolution
+    b = getattr(shape, "bounds", None)
+    if b is not None and max(b) > half + 0.5 * conf.occupancy_resolution:
+        import warnings
+
+        warnings.warn(
+            f"pose kernel half-size {half:.2f} m < shape bound {max(b):.2f} m"
+            " — the collision kernel truncates the body; increase"
+            " kernel_size or occupancy_resolution",
+            stacklevel=2,
+        )
     rolls_deg, pitches_deg = pose_grid(conf)
     rolls = jnp.asarray(np.radians(rolls_deg))
     pitches = jnp.asarray(np.radians(pitches_deg))

@@ -76,9 +76,14 @@ def _plateau_argmin(d, cand, tie_eps: float = 1e-4):
     SDF max/min structure (the envelope theorem needs an argmin in the
     plateau interior).  This selects the midpoint of the tie run containing
     the argmin — equals the argmin for strict minima.
+
+    The tie tolerance is *relative* to the SDF magnitude at the minimum
+    (floored at tie_eps absolute for near-zero values), so plateau detection
+    is scale-invariant across body sizes (e.g. Torus_big, bounds ≈ 3.8 m).
     """
     dmin = jnp.min(d, axis=-1, keepdims=True)
-    tie = d <= dmin + tie_eps
+    eps = tie_eps * jnp.maximum(1.0, jnp.abs(dmin))
+    tie = d <= dmin + eps
     j = jnp.argmin(d, axis=-1)[..., None]                    # (P, 1)
     k = d.shape[-1]
     idx = jnp.arange(k)

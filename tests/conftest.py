@@ -17,3 +17,11 @@ import jax
 # knob wins over it.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache for the CPU test config (VERDICT r1 item 10):
+# the fused sweep/backend programs dominate cold-suite runtime; caching them
+# makes the full suite complete in one invocation.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
