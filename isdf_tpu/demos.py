@@ -65,6 +65,13 @@ class DemoSpec:
     map_id: Optional[int] = None    # procedural map id (maps_gen)
     start: tuple = (2.0, 2.0, 2.0)
     goal: tuple = (45.0, 45.0, 3.0)
+    # 2-D planar mode (demos 7/8 — the paper's 2-D experiments; the
+    # reference repo ships no 2-D code path): shape_name picks the body,
+    # planar_map the maps_gen generator, yaw_opt the rotation mode
+    planar: bool = False
+    shape_name: Optional[str] = None
+    planar_map: Optional[str] = None
+    yaw_opt: bool = True
 
 
 DEMOS = {
@@ -138,6 +145,33 @@ DEMOS = {
         map_id=3,
         start=(5.0, 5.0, 5.0), goal=(40.0, 5.0, 5.0),
     ),
+    # 2-D experiments (BASELINE.json: "2D circle robot, rotation decoupled"
+    # and "2D arbitrary polygon with yaw optimization")
+    7: DemoSpec(
+        7,
+        Config.from_dict(dict(
+            occupancy_resolution=0.5, integralIntervs=16,
+            sweep_coarse_samples=48, sweep_refine_rounds=8,
+            vmax=5.0, omgmax=5.0, thetamax=1e3, safety_hor=0.3,
+            max_obstacle_points=2048, inittime=2.0, weight_p=8000.0,
+        )),
+        start=(2.0, 2.0), goal=(28.0, 28.0),
+        planar=True, shape_name="Ball", planar_map="planar_forest",
+        yaw_opt=False,
+    ),
+    8: DemoSpec(
+        8,
+        Config.from_dict(dict(
+            occupancy_resolution=0.5, integralIntervs=16,
+            sweep_coarse_samples=64, sweep_refine_rounds=8,
+            vmax=4.0, omgmax=3.0, thetamax=1e3, safety_hor=0.25,
+            max_obstacle_points=2048, inittime=2.0, weight_p=8000.0,
+            box_x=1.4, box_y=0.2, box_z=0.2,
+        )),
+        start=(3.0, 3.0), goal=(21.0, 21.0),
+        planar=True, shape_name="Box", planar_map="planar_gaps",
+        yaw_opt=True,
+    ),
 }
 
 
@@ -153,13 +187,35 @@ def load_demo_points(spec: DemoSpec, res: float = 0.8, seed: int = 0) -> np.ndar
 
 def run_demo(demo_id: int, start=None, goal=None, max_iters: Optional[int] = None,
              use_pose_kernels: bool = True, conf_overrides: Optional[dict] = None):
-    """Full pipeline on a demo scenario; returns (PlannerManager, PlanResult)."""
+    """Full pipeline on a demo scenario; returns (PlannerManager, PlanResult)
+    for 3-D demos, or (shape, PlanarResult) for the 2-D demos 7/8.
+
+    NB the grid is sized to the point cloud's bounding box, matching the
+    reference's PCSmapManager (PCSmap_manager.cpp:111-145 measures the cloud
+    and createGridMap's on its bbox; conf.mapBound is not used for the grid
+    there either)."""
     from isdf_tpu.plan import PlannerManager
     from isdf_tpu.shapes.gridsdf import shape_from_config
     from isdf_tpu.world import GridMap
 
     spec = DEMOS[demo_id]
     conf = spec.config if not conf_overrides else spec.config.replace(**conf_overrides)
+
+    if spec.planar:
+        from isdf_tpu.plan import plan_planar
+        from isdf_tpu.shapes import make_shape
+        from isdf_tpu.world import maps_gen
+
+        shape = make_shape(spec.shape_name, conf)
+        pts2 = getattr(maps_gen, spec.planar_map)()
+        res = plan_planar(
+            conf, shape, pts2,
+            start if start is not None else spec.start,
+            goal if goal is not None else spec.goal,
+            yaw_opt=spec.yaw_opt, max_iters=max_iters,
+        )
+        return shape, res
+
     shape = shape_from_config(conf)
     pm = PlannerManager(conf, shape=shape)
     pts = load_demo_points(spec)

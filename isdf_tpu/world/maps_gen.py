@@ -326,3 +326,43 @@ def mockamap(size=(40, 40, 15), res=0.5, seed=0, feature=6, fill=0.12):
     thresh = np.quantile(noise, 1.0 - fill)
     idx = np.argwhere(noise >= thresh)
     return (idx + 0.5) * res
+
+
+# --- 2-D planar maps (for the paper's 2-D experiments; no reference
+# equivalent — the reference repo ships no 2-D code path) -------------------
+
+def planar_forest(res=0.25, seed=0, trees=26, area=30.0):
+    """Random disc obstacles in a square arena, boundary ring included.
+    Returns (M, 2) points."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for _ in range(trees):
+        c = rng.uniform(4.0, area - 4.0, size=2)
+        if np.linalg.norm(c - np.array([2.0, 2.0])) < 3.0:
+            continue
+        if np.linalg.norm(c - np.array([area - 2.0, area - 2.0])) < 3.0:
+            continue
+        r = rng.uniform(0.5, 1.4)
+        th = np.arange(0, 2 * np.pi, res / max(r, res))
+        for rr in np.arange(res / 2, r, res):
+            pts.append(np.stack([c[0] + rr * np.cos(th),
+                                 c[1] + rr * np.sin(th)], -1))
+    for t in np.arange(0, area, res):
+        pts.append(np.array([[t, 0.0], [t, area], [0.0, t], [area, t]]))
+    return np.concatenate(pts, axis=0)
+
+
+def planar_gaps(res=0.25, area=24.0, gap=2.2, walls=(8.0, 16.0)):
+    """Two full-height walls with offset narrow gaps — the polygon-with-yaw
+    scenario: a long bar must turn to slide through.  Returns (M, 2)."""
+    pts = []
+    ys = np.arange(0.0, area + 1e-9, res)
+    for i, wx in enumerate(walls):
+        gc = area * (0.35 if i % 2 == 0 else 0.65)
+        keep = np.abs(ys - gc) > gap / 2
+        for dx in np.arange(0.0, 0.75, res):
+            pts.append(np.stack(
+                [np.full(keep.sum(), wx + dx), ys[keep]], -1))
+    for t in np.arange(0, area, res):
+        pts.append(np.array([[t, 0.0], [t, area], [0.0, t], [area, t]]))
+    return np.concatenate(pts, axis=0)

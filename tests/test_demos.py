@@ -12,8 +12,11 @@ HAVE_REF = os.path.isdir(os.path.join(REFERENCE_ROOT, "src", "plan_manager"))
 
 
 class TestSpecs:
-    def test_all_six_demos_defined(self):
-        assert sorted(DEMOS) == [1, 2, 3, 4, 5, 6]
+    def test_all_demos_defined(self):
+        # 1-6: the reference launch files; 7-8: the paper's 2-D experiments
+        assert sorted(DEMOS) == [1, 2, 3, 4, 5, 6, 7, 8]
+        assert DEMOS[7].planar and not DEMOS[7].yaw_opt
+        assert DEMOS[8].planar and DEMOS[8].yaw_opt
 
     def test_config_values_transcribed(self):
         c1 = DEMOS[1].config
@@ -82,3 +85,24 @@ class TestDemosEndToEnd:
         assert res.metrics.get("attitude_refs"), "A* attitude refs unused"
         tilt = np.degrees(np.maximum(np.abs(res.rolls), np.abs(res.pitches)))
         assert tilt.max() >= 18.0
+
+
+@pytest.mark.demo
+class TestPlanarDemos:
+    """2-D demos (no reference assets needed — procedural maps)."""
+
+    def test_demo7_circle_forest(self):
+        shape, res = run_demo(7, max_iters=120)
+        assert res.success
+        assert res.metrics["min_swept_sdf"] > 0.0, res.metrics
+
+    def test_demo8_bar_yaw_gaps(self):
+        shape, res = run_demo(8, max_iters=100)
+        assert res.success
+        assert res.metrics["min_swept_sdf"] > 0.0, res.metrics
+        # yaw must actually vary to slide through the offset gaps
+        import jax, jax.numpy as jnp
+
+        ts = jnp.linspace(0.0, res.traj.total_duration, 200)
+        psi = np.asarray(jax.vmap(res.traj.pos)(ts))[:, 2]
+        assert psi.max() - psi.min() > 0.5

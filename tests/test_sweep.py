@@ -58,7 +58,7 @@ class TestSweepSDF:
         # warm start from slightly perturbed t*
         t_seed = t_c + jnp.array(rng.normal(size=16) * 0.05)
         sdf_w, t_w, _ = sweep_sdf_warm(self.ball, self.traj, PARAMS, pts, t_seed)
-        np.testing.assert_allclose(np.asarray(sdf_w), np.asarray(sdf_c), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sdf_w), np.asarray(sdf_c), atol=5e-5)
 
     def test_t_star_is_minimum(self):
         rng = np.random.default_rng(2)
