@@ -20,7 +20,7 @@ import time
 def _cmd_demo(args):
     import numpy as np
 
-    from isdf_tpu.demos import run_demo
+    from isdf_tpu.demos import DEMOS, run_demo
     from isdf_tpu.viz import export_obj, export_traj_csv, swept_volume_mesh
 
     os.makedirs(args.out, exist_ok=True)
@@ -30,14 +30,22 @@ def _cmd_demo(args):
             integralIntervs=16, sweep_coarse_samples=32,
             sweep_refine_rounds=8, max_obstacle_points=1024,
         )
+    monitor = None
+    if args.monitor:
+        from isdf_tpu.utils.monitor import OptiMonitor
+        from isdf_tpu.utils.obs import Controller
+
+        monitor = OptiMonitor(controller=Controller(), live=True)
     t0 = time.time()
-    pm, res = run_demo(args.id, max_iters=args.iters, conf_overrides=overrides)
+    pm, res = run_demo(args.id, max_iters=args.iters,
+                       conf_overrides=overrides, monitor=monitor)
     wall = time.time() - t0
+    planar = DEMOS[args.id].planar
     metrics = {k: v for k, v in res.metrics.items()
                if isinstance(v, (int, float, str, bool))}
     metrics["wall_s"] = wall
     metrics["success"] = bool(res.success)
-    if res.success:
+    if res.success and not planar:
         metrics["min_swept_sdf"] = pm.audit_collision(res.traj)
         export_traj_csv(os.path.join(args.out, "trajectory.csv"), res.traj)
         np.savetxt(os.path.join(args.out, "astar_path.csv"), res.path,
@@ -48,6 +56,21 @@ def _cmd_demo(args):
             )
             export_obj(os.path.join(args.out, "swept_volume.obj"), tris)
             metrics["swept_mesh_tris"] = int(len(tris))
+        if args.monitor:
+            from isdf_tpu.utils.monitor import (
+                export_kernel_obj, export_replay_csv)
+
+            export_replay_csv(
+                os.path.join(args.out, "replay.csv"), res.traj, pm.params)
+            if pm.pose_kernels is not None:
+                export_kernel_obj(
+                    os.path.join(args.out, "pose_kernel.obj"),
+                    pm.pose_kernels,
+                    resolution=pm.conf.occupancy_resolution)
+    if monitor is not None and monitor.total:
+        monitor.cost_curve_png(os.path.join(args.out, "cost_curve.png"))
+        print(monitor.cost_curve_ascii())
+        metrics["monitor"] = monitor.summary()
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
     print(json.dumps(metrics, default=str))
@@ -113,13 +136,16 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("demo", help="run a reference demo scenario")
-    d.add_argument("id", type=int, choices=range(1, 7))
+    d.add_argument("id", type=int, choices=range(1, 9))
     d.add_argument("--out", default="./out")
     d.add_argument("--iters", type=int, default=None)
     d.add_argument("--fast", action="store_true",
                    help="reduced resolutions for CPU smoke runs")
     d.add_argument("--swept-mesh", action="store_true")
     d.add_argument("--mesh-res", type=float, default=0.25)
+    d.add_argument("--monitor", action="store_true",
+                   help="live cost breakdown + cost_curve.png/replay.csv "
+                        "artifacts (debug_assistant equivalent)")
     d.set_defaults(fn=_cmd_demo)
 
     b = sub.add_parser("bench", help="run the benchmark harness")
@@ -136,6 +162,9 @@ def main(argv=None):
     c.set_defaults(fn=_cmd_closed_loop)
 
     args = p.parse_args(argv)
+    from isdf_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     args.fn(args)
 
 

@@ -22,6 +22,22 @@ def quat_to_rot(q):
     return r.reshape(q.shape[:-1] + (3, 3))
 
 
+def rot_to_quat(R):
+    """Rotation matrix (..., 3, 3) → quaternion (w, x, y, z), w ≥ 0.
+
+    Shepperd-style: numerically safe for replay export (not used in any
+    gradient path); picks the largest of the four squared components."""
+    m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
+    d = 4.0 * jnp.maximum(qw, 1e-6)
+    qx = (R[..., 2, 1] - R[..., 1, 2]) / d
+    qy = (R[..., 0, 2] - R[..., 2, 0]) / d
+    qz = (R[..., 1, 0] - R[..., 0, 1]) / d
+    q = jnp.stack([qw, qx, qy, qz], axis=-1)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def hat(w):
     """Vector (..., 3) → skew matrix (..., 3, 3)."""
     zeros = jnp.zeros_like(w[..., 0])

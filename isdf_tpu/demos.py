@@ -186,7 +186,8 @@ def load_demo_points(spec: DemoSpec, res: float = 0.8, seed: int = 0) -> np.ndar
 
 
 def run_demo(demo_id: int, start=None, goal=None, max_iters: Optional[int] = None,
-             use_pose_kernels: bool = True, conf_overrides: Optional[dict] = None):
+             use_pose_kernels: bool = True, conf_overrides: Optional[dict] = None,
+             monitor=None):
     """Full pipeline on a demo scenario; returns (PlannerManager, PlanResult)
     for 3-D demos, or (shape, PlanarResult) for the 2-D demos 7/8.
 
@@ -226,6 +227,6 @@ def run_demo(demo_id: int, start=None, goal=None, max_iters: Optional[int] = Non
     res = pm.plan(
         np.asarray(start if start is not None else spec.start, dtype=np.float64),
         np.asarray(goal if goal is not None else spec.goal, dtype=np.float64),
-        max_iters=max_iters,
+        max_iters=max_iters, monitor=monitor,
     )
     return pm, res

@@ -212,12 +212,18 @@ def optimize(
     method: str = "lbfgs",
     params=None,
     rot_refs=None,
+    monitor=None,
+    monitor_chunk: int = 4,
 ):
     """Full back-end solve (ref optimize_traj_lmbm, back_end_optimizer.cpp:99).
 
     method: "lbfgs" (smoothed costs, the reference's declared-interchangeable
     variant, hpp:730) or "lmbm" (nonsmooth bundle loop, opt/lmbm.py —
     the reference's default outer solver).
+    monitor: optional utils.monitor.OptiMonitor — switches to the chunked
+    driver and streams a CostBreakdown every `monitor_chunk` iterations (the
+    reference's earlyExit/debug_publisher cadence); the monitor's Controller
+    can stop/pause the solve between chunks (opcodes 21/22).
     Returns (PolyTraj, LBFGSResult).
     """
     N = T0.shape[0]
@@ -232,13 +238,13 @@ def optimize(
         from isdf_tpu.opt.attitude import pad_attitude_refs
 
         att = pad_attitude_refs(rot_refs, x0.dtype)
-    cost_and_grad = make_cost_fn(
+    cost_and_grad, raw_cost = make_cost_fn(
         shape, params, w, head, tail, N, points, mask,
         integral_res=conf.integralIntervs,
         coarse_n=conf.sweep_coarse_samples,
         refine_rounds=conf.sweep_refine_rounds,
         att=att, weight_ar=conf.weight_ar_backend,
-        bridge=conf.attitude_bridge,
+        bridge=conf.attitude_bridge, with_breakdown=True,
     )
     iters = max_iters if max_iters is not None else conf.max_iterations
     if method == "lmbm":
@@ -246,6 +252,24 @@ def optimize(
 
         res = lmbm.minimize(
             cost_and_grad, x0, t_warm0, m=conf.mem_size, max_iters=iters,
+        )
+    elif monitor is not None:
+        import jax as _jax
+
+        raw_jit = _jax.jit(raw_cost)
+        monitor.begin_solve()
+
+        def _cb(r):
+            _, (_, bd) = raw_jit(r.x, r.aux)
+            return monitor.on_chunk(int(r.n_iters), bd)
+
+        res = lbfgs.minimize_chunked(
+            cost_and_grad, x0, t_warm0,
+            m=conf.mem_size, max_iters=iters, chunk=monitor_chunk,
+            callback=_cb,
+            g_epsilon=max(conf.g_epsilon, 1e-7),
+            past=conf.past,
+            rel_cost_tol=conf.relCostTol,
         )
     else:
         res = lbfgs.minimize(

@@ -163,10 +163,12 @@ class PlannerManager:
 
     # -- full plan (ref targetRcvCallBack) -----------------------------------
     def plan(self, start, goal, max_iters: Optional[int] = None,
-             start_vel=None, start_acc=None) -> PlanResult:
+             start_vel=None, start_acc=None, monitor=None) -> PlanResult:
         """start_vel/start_acc: initial derivative rows of the head state —
         used by closed-loop replanning so the new trajectory continues the
-        current flight smoothly (the reference replans from rest)."""
+        current flight smoothly (the reference replans from rest).
+        monitor: optional utils.monitor.OptiMonitor streaming per-chunk cost
+        breakdowns from the back end (debug_assistant equivalent)."""
         assert self.gridmap is not None, "call set_map first"
         conf = self.conf
         m: Dict[str, Any] = {}
@@ -250,7 +252,7 @@ class PlannerManager:
             self.shape, conf, head, tail, q_ws,
             timemap.tau_to_T(tau),
             jnp.asarray(pts), jnp.asarray(mask),
-            max_iters=max_iters, rot_refs=rot_refs,
+            max_iters=max_iters, rot_refs=rot_refs, monitor=monitor,
         )
         m["back_end_s"] = time.perf_counter() - t0
         m["back_end_iters"] = int(res.n_iters)
@@ -295,7 +297,7 @@ class PlannerManager:
                 self.shape, conf, head, tail, q_ws, traj.durations,
                 jnp.asarray(pts), jnp.asarray(mask),
                 t_warm0=jnp.asarray(t_warm_np), max_iters=max_iters,
-                rot_refs=rot_refs,
+                rot_refs=rot_refs, monitor=monitor,
             )
             m["back_end_s"] += time.perf_counter() - t0
             m["back_end_iters"] += int(res.n_iters)

@@ -48,6 +48,10 @@ def _interp(field, origin, res, p):
 
 
 def grid_shape(name: str, field, origin, resolution, bounds=None) -> Shape:
+    from isdf_tpu.sweep.pallas_grid import pad_grid
+
+    field_np = np.asarray(field)
+    origin_np = np.asarray(origin)
     field = jnp.asarray(field)
     origin = jnp.asarray(origin)
     res = jnp.asarray(resolution)
@@ -58,7 +62,8 @@ def grid_shape(name: str, field, origin, resolution, bounds=None) -> Shape:
     def sdf(p):
         return _interp(field, origin, res, p)
 
-    return Shape(name=name, sdf=sdf, bounds=bounds)
+    pg = pad_grid(field_np, origin_np, float(resolution))
+    return Shape(name=name, sdf=sdf, bounds=bounds, grid=pg)
 
 
 def mesh_shape(

@@ -59,6 +59,11 @@ class Shape:
     name: str
     sdf: Callable
     bounds: Tuple[float, float, float]  # half-extents of a bounding box
+    # grid-backed shapes (gridsdf.py) carry their padded voxel payload so the
+    # sweep layer can dispatch the gather-free Pallas kernel
+    # (sweep/pallas_grid.py); excluded from eq/hash — jit staticness keys on
+    # (name, sdf identity, bounds).
+    grid: Optional[object] = field(default=None, compare=False)
 
     def grad(self, p):
         """∂sdf/∂p, shape (..., 3) (replaces getonlyGrad1)."""

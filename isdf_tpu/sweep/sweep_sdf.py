@@ -67,6 +67,31 @@ def _batched_sdf_table(shape, p_eva, xs, Rs):
     return shape.sdf(p_rel)                            # (P, T)
 
 
+def _pallas_auto(shape) -> bool:
+    """Production dispatch: the gather-free Pallas kernel wins for
+    grid-backed (mesh) shapes on TPU, where XLA's trilinear-gather path
+    scalarizes; analytic shapes stay on the XLA einsum table, which fuses
+    their elementwise SDF into the pose chain (measured: see
+    BASELINE.md "Pallas vs XLA sweep coarse scan")."""
+    import jax as _jax
+
+    return shape.grid is not None and _jax.default_backend() == "tpu"
+
+
+def _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas):
+    """argmin-t seed of the coarse scan → (t0 (P,), dmin (P,))."""
+    if use_pallas is None:
+        use_pallas = _pallas_auto(shape)
+    if use_pallas and shape.grid is not None:
+        from isdf_tpu.sweep.pallas_grid import grid_coarse_scan
+
+        dmin, j = grid_coarse_scan(shape.grid, p_eva, xs, Rs)
+        return ts[j], dmin
+    table = _batched_sdf_table(shape, p_eva, xs, Rs)
+    j = jnp.argmin(table, axis=1)
+    return ts[j], jnp.min(table, axis=1)
+
+
 def _plateau_argmin(d, cand, tie_eps: float = 1e-4):
     """Center of the connected near-minimum run, per row.
 
@@ -130,7 +155,8 @@ def _zoom(shape, traj, params, p_eva, t0, w0, rounds: int, k: int = 8):
     return t_star, sdf_star
 
 
-@partial(jax.jit, static_argnames=("shape", "coarse_n", "refine_rounds"))
+@partial(jax.jit,
+         static_argnames=("shape", "coarse_n", "refine_rounds", "use_pallas"))
 def sweep_sdf(
     shape,
     traj,
@@ -138,18 +164,18 @@ def sweep_sdf(
     p_eva,
     coarse_n: int = 128,
     refine_rounds: int = 24,
+    use_pallas: Optional[bool] = None,
 ):
     """Swept-volume SDF for a batch of points (cold start).
 
     Returns (sdf_star (P,), t_star (P,), grad_prel (P,3)); t_star is
-    stop-gradiented.
+    stop-gradiented.  use_pallas: None = auto (Pallas coarse scan for grid
+    shapes on TPU, XLA otherwise).
     """
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
-    table = _batched_sdf_table(shape, p_eva, xs, Rs)    # (P, Tc)
-    j = jnp.argmin(table, axis=1)
-    t0 = ts[j]
+    t0, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
     w0 = total / (coarse_n - 1)
     t_star, sdf_star = _zoom(shape, traj, params, p_eva, t0, w0, refine_rounds)
     t_star = jax.lax.stop_gradient(t_star)
@@ -157,7 +183,8 @@ def sweep_sdf(
     return sdf_star, t_star, grad_prel
 
 
-@partial(jax.jit, static_argnames=("shape", "coarse_n", "refine_rounds"))
+@partial(jax.jit,
+         static_argnames=("shape", "coarse_n", "refine_rounds", "use_pallas"))
 def sweep_sdf_warm(
     shape,
     traj,
@@ -167,6 +194,7 @@ def sweep_sdf_warm(
     coarse_n: int = 64,
     refine_rounds: int = 16,
     warm_window: float = 0.3,
+    use_pallas: Optional[bool] = None,
 ):
     """Warm-started swept SDF: zoom around t_warm AND re-scan coarsely; the
     deeper minimum wins (guards against topology changes between outer
@@ -180,8 +208,7 @@ def sweep_sdf_warm(
     # branch B: coarse re-scan + refine
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
-    table = _batched_sdf_table(shape, p_eva, xs, Rs)
-    t0 = ts[jnp.argmin(table, axis=1)]
+    t0, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
     tB, dB = _zoom(
         shape, traj, params, p_eva, t0, total / (coarse_n - 1), refine_rounds
     )

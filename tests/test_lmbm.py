@@ -59,6 +59,42 @@ class TestNonsmoothBenchmarks:
         assert np.all(np.asarray(out) < 1e-3)
 
 
+class TestAggregation:
+    def test_three_point_simplex_minimum(self):
+        """_aggregate3 must return the exact simplex-constrained minimizer
+        of φ(λ) = ‖λᵀG‖² + 2λᵀβ — cross-checked against a dense grid."""
+        rng = np.random.default_rng(3)
+        for trial in range(8):
+            G = jnp.asarray(rng.normal(size=(3, 5)))
+            betas = jnp.asarray(np.abs(rng.normal(size=2)))
+            g_agg, b_agg = lmbm._aggregate3(
+                G[0], G[1], G[2], betas[0], betas[1]
+            )
+            b3 = jnp.array([0.0, betas[0], betas[1]])
+
+            def phi(lam):
+                v = lam @ np.asarray(G)
+                return float(v @ v + 2.0 * lam @ np.asarray(b3))
+
+            phi_star = float(
+                np.asarray(g_agg) @ np.asarray(g_agg)
+            ) + 2.0 * float(b_agg)
+            # dense grid over the simplex
+            best = np.inf
+            for a in np.linspace(0, 1, 41):
+                for b in np.linspace(0, 1 - a, 41):
+                    best = min(best, phi(np.array([a, b, 1 - a - b])))
+            assert phi_star <= best + 1e-6, (trial, phi_star, best)
+
+    def test_null_step_locality_progress(self):
+        """On f = max_i |x_i| (subgradient flips every step), the locality-
+        aware aggregation must still drive the iterate to the optimum."""
+        f = lambda x: jnp.max(jnp.abs(x))
+        res = lmbm.minimize(_cg(f), jnp.array([2.0, -1.5, 0.7]), None,
+                            max_iters=400)
+        assert float(res.f) < 5e-3
+
+
 class TestBackendParity:
     def test_lmbm_vs_lbfgs_on_backend_cost(self):
         from isdf_tpu.config import Config
