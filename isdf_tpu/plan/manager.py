@@ -137,7 +137,13 @@ class PlannerManager:
     def snap_feasible(self, p, max_radius_vox: int = 6) -> np.ndarray:
         """Snap a point to the nearest any-pose-feasible free voxel center
         (within max_radius_vox), so user clicks inside/too close to geometry
-        still plan."""
+        still plan.
+
+        Near-equidistant candidates (within one voxel of the closest) are
+        tie-broken by ESDF clearance — the snapped start/goal lands in the
+        locally deepest free pocket instead of hugging the wall it was
+        snapped away from (the planner-side consumer of GridMap.with_esdf;
+        ref GridMap3D ESDF, Gridmap3D.cpp:361-533)."""
         gm = self.gridmap
         occ = np.asarray(gm.occ)
         free = ~occ
@@ -149,7 +155,6 @@ class PlannerManager:
             return np.asarray(p, dtype=np.float64)
         if free[tuple(idx)]:
             return np.asarray(p, dtype=np.float64)
-        best, best_d = None, None
         r = max_radius_vox
         lo = np.maximum(idx - r, 0)
         hi = np.minimum(idx + r + 1, occ.shape)
@@ -158,7 +163,16 @@ class PlannerManager:
         if len(cands) == 0:
             return np.asarray(p, dtype=np.float64)
         d = np.linalg.norm(cands - idx, axis=1)
-        best = cands[np.argmin(d)]
+        near = d <= d.min() + 1.0
+        cands, d = cands[near], d[near]
+        if len(cands) > 1:
+            if gm.esdf is None:
+                gm = gm.with_esdf()
+                self.gridmap = gm
+            clr = np.asarray(gm.esdf)[tuple(cands.T)]
+            best = cands[np.argmax(clr - 1e-6 * d)]
+        else:
+            best = cands[0]
         return np.asarray(gm.index_to_world(jnp.asarray(best)))
 
     # -- full plan (ref targetRcvCallBack) -----------------------------------

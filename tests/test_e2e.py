@@ -91,3 +91,31 @@ class TestEndToEnd:
         srv.last_heartbeat = t0  # simulate stale
         frozen = srv.command(now=t0 + 2.0)
         np.testing.assert_allclose(np.asarray(frozen.velocity), 0.0, atol=1e-12)
+
+
+class TestSnapClearance:
+    def test_snap_prefers_deep_pocket(self):
+        """snap_feasible tie-breaks near-equidistant free candidates by ESDF
+        clearance: a click inside a wall stub next to both a 1-voxel slot
+        and open space must snap into the open side (the planner-side ESDF
+        consumer — ref GridMap3D ESDF, Gridmap3D.cpp:361-533)."""
+        conf = Config(
+            mapBound=(0.0, 8.0, 0.0, 8.0, 0.0, 4.0),
+            occupancy_resolution=0.5, kernel_size=3,
+        )
+        # a solid block x∈[3,5), plus a second wall at x∈[1.5,2) leaving a
+        # narrow 1-voxel-wide slot between them on the low-x side; high-x
+        # side of the block is fully open
+        pts = np.concatenate([
+            maps_gen.gene_wall(3.0, 0.0, 2.0, 8.0, 4.0, res=0.25),
+            maps_gen.gene_wall(1.5, 0.0, 0.5, 8.0, 4.0, res=0.25),
+        ])
+        pm = PlannerManager(conf, shape_name="Point")
+        pm.set_map_points(pts, use_pose_kernels=False)
+        # click just inside the block's low-x face: the nearest free voxels
+        # on both sides are near-equidistant; clearance must pick high-x
+        # x=4.0 is equidistant between the slot and the open side; the plain
+        # first-argmin would land in the slot (lexicographic low-x first)
+        click = np.array([4.0, 4.0, 2.0])
+        snapped = pm.snap_feasible(click, max_radius_vox=8)
+        assert snapped[0] > 5.0, snapped
