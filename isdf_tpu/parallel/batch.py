@@ -76,6 +76,7 @@ def _single_cost_fn(shape, params, w, conf):
     return cost_and_grad
 
 
+@partial(jax.jit, static_argnames=("shape", "conf"))
 def batched_cost_and_grad(shape, conf, batch: ScenarioBatch):
     """One vmapped cost+grad evaluation across all scenarios — the
     "training step" analogue used by the multi-chip dryrun."""

@@ -55,8 +55,13 @@ def pvaj_all(traj, t, n_orders: int = 4):
     N = durations.shape[0]
 
     tc = jnp.clip(t, 0.0, cum[-1])
+    # piece index by explicit comparison count (NOT searchsorted: batched
+    # searchsorted with a per-scenario `cum` lowers to a gather-based binary
+    # search under vmap — catastrophically slow on TPU; N comparisons
+    # vectorize perfectly)
+    tcs = jax.lax.stop_gradient(tc)[..., None]               # t.shape + (1,)
     idx = jnp.clip(
-        jnp.searchsorted(cum, jax.lax.stop_gradient(tc), side="left"), 0, N - 1
+        jnp.sum((tcs > cum).astype(jnp.int32), axis=-1), 0, N - 1
     )
     oh = jax.nn.one_hot(idx, N, dtype=dtype)                 # t.shape + (N,)
 

@@ -198,20 +198,27 @@ def sweep_sdf_warm(
 ):
     """Warm-started swept SDF: zoom around t_warm AND re-scan coarsely; the
     deeper minimum wins (guards against topology changes between outer
-    iterations — the reference's candidate-interval logic)."""
+    iterations — the reference's candidate-interval logic).
+
+    Both refinements run as ONE stacked _zoom call over 2P seeds: the zoom's
+    per-round cost on TPU is dominated by sequential-step overhead, not
+    element count, so halving the number of round-steps (vs two sequential
+    zoom calls) nearly halves wall time."""
     total = traj.total_duration
-    # branch A: warm local refine
-    tA, dA = _zoom(
-        shape, traj, params, p_eva, jnp.clip(t_warm, 0.0, total), warm_window,
-        refine_rounds,
-    )
-    # branch B: coarse re-scan + refine
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
-    t0, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
-    tB, dB = _zoom(
-        shape, traj, params, p_eva, t0, total / (coarse_n - 1), refine_rounds
-    )
+    t0_coarse, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
+
+    P = p_eva.shape[0]
+    seeds = jnp.concatenate(
+        [jnp.clip(t_warm, 0.0, total), t0_coarse])            # (2P,)
+    p2 = jnp.concatenate([p_eva, p_eva], axis=0)              # (2P, 3)
+    w_warm = jnp.full((P,), warm_window, seeds.dtype)
+    w_coarse = jnp.full((P,), total / (coarse_n - 1), seeds.dtype)
+    w0 = jnp.concatenate([w_warm, w_coarse])
+    t2, d2 = _zoom(shape, traj, params, p2, seeds, w0, refine_rounds)
+    tA, tB = t2[:P], t2[P:]
+    dA, dB = d2[:P], d2[P:]
     use_a = dA <= dB
     t_star = jax.lax.stop_gradient(jnp.where(use_a, tA, tB))
     sdf_star = jnp.where(use_a, dA, dB)
