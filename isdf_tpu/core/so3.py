@@ -25,17 +25,36 @@ def quat_to_rot(q):
 def rot_to_quat(R):
     """Rotation matrix (..., 3, 3) → quaternion (w, x, y, z), w ≥ 0.
 
-    Shepperd-style: numerically safe for replay export (not used in any
-    gradient path); picks the largest of the four squared components."""
+    Full 4-branch Shepperd selection (largest of {1+tr, 1+2·m_kk−tr}): safe
+    for all rotations including 180° (trace ≈ −1), where the trace-only
+    branch degenerates.  Not used in any gradient path."""
     m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
-    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
-    d = 4.0 * jnp.maximum(qw, 1e-6)
-    qx = (R[..., 2, 1] - R[..., 1, 2]) / d
-    qy = (R[..., 0, 2] - R[..., 2, 0]) / d
-    qz = (R[..., 1, 0] - R[..., 0, 1]) / d
-    q = jnp.stack([qw, qx, qy, qz], axis=-1)
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r01, r02, r12 = R[..., 0, 1], R[..., 0, 2], R[..., 1, 2]
+    r10, r20, r21 = R[..., 1, 0], R[..., 2, 0], R[..., 2, 1]
+
+    # candidate k has 4·q_k² = t_k; the other components follow from the
+    # (anti)symmetric parts divided by 2·sqrt(t_k).
+    tw = 1.0 + tr
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+    qs = jnp.stack(
+        [
+            jnp.stack([tw, r21 - r12, r02 - r20, r10 - r01], axis=-1),
+            jnp.stack([r21 - r12, tx, r01 + r10, r02 + r20], axis=-1),
+            jnp.stack([r02 - r20, r01 + r10, ty, r12 + r21], axis=-1),
+            jnp.stack([r10 - r01, r02 + r20, r12 + r21, tz], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 4 branches, 4 components)
+    ts = jnp.stack([tw, tx, ty, tz], axis=-1)
+    k = jnp.argmax(ts, axis=-1)
+    q = jnp.take_along_axis(qs, k[..., None, None].repeat(4, -1), axis=-2)[
+        ..., 0, :
+    ]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
 
 
 def hat(w):

@@ -166,22 +166,27 @@ def minimize(
 
         # backtracking: largest t ∈ {1, 1/2, …} with the serious-step
         # decrease f(x+td) ≤ f − ε_L t w; keep the last trial's data.
+        # carry BOTH the next trial step and the step at which (f_t, g_t)
+        # were actually evaluated: on a failed final trial the body halves t
+        # before exiting, and the null-step locality measure below must use
+        # the EVALUATED step T (Fortran ALFN, lmbm_sub.f:2460), not t/2.
         def ls_body(c):
-            t, f_t, g_t, aux_t, k, ok = c
+            t, _, f_t, g_t, aux_t, k, ok = c
             xt = st.x + t * d
             ft, gt, auxt = cost_and_grad(xt, aux_t)
             ok_new = ft <= st.f - eps_l * t * w
             t_next = jnp.where(ok_new, t, 0.5 * t)
-            return (t_next, ft, gt, auxt, k + 1, ok_new)
+            return (t_next, t, ft, gt, auxt, k + 1, ok_new)
 
         def ls_cond(c):
-            t, f_t, g_t, aux_t, k, ok = c
+            t, t_eval, f_t, g_t, aux_t, k, ok = c
             return (~ok) & (k < max_ls)
 
-        t_fin, f_t, g_t, aux_t, k_ls, serious = jax.lax.while_loop(
+        _, t_fin, f_t, g_t, aux_t, k_ls, serious = jax.lax.while_loop(
             ls_cond, ls_body,
-            (jnp.asarray(1.0, dtype), st.f, st.g_hat, st.aux,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+            (jnp.asarray(1.0, dtype), jnp.asarray(1.0, dtype), st.f,
+             st.g_hat, st.aux, jnp.asarray(0, jnp.int32),
+             jnp.asarray(False)),
         )
         x_t = st.x + t_fin * d
 

@@ -22,6 +22,12 @@ from isdf_tpu.shapes import mesh as meshlib
 
 
 def _interp(field, origin, res, p):
+    # Pin constants to the query dtype: under jax_enable_x64 the stored
+    # field/origin would otherwise promote a float32 query chain to float64
+    # and break fixed-dtype solver carries (lax.while_loop in opt/lbfgs.py).
+    field = field.astype(p.dtype)
+    origin = origin.astype(p.dtype)
+    res = jnp.asarray(res, p.dtype)
     g = (p - origin) / res
     size = jnp.array(field.shape)
     gc = jnp.clip(g, 0.0, (size - 1).astype(g.dtype) - 1e-5)

@@ -67,15 +67,26 @@ def _batched_sdf_table(shape, p_eva, xs, Rs):
     return shape.sdf(p_rel)                            # (P, T)
 
 
+# The Pallas coarse-scan kernel maps the whole padded field into VMEM per
+# block; a field larger than this budget would fail to compile.  ~16 MiB
+# VMEM per TPU core, minus block/intermediate headroom.
+_PALLAS_FIELD_VMEM_BUDGET = 8 * 1024 * 1024
+
+
 def _pallas_auto(shape) -> bool:
     """Production dispatch: the gather-free Pallas kernel wins for
     grid-backed (mesh) shapes on TPU, where XLA's trilinear-gather path
     scalarizes; analytic shapes stay on the XLA einsum table, which fuses
     their elementwise SDF into the pose chain (measured: see
-    BASELINE.md "Pallas vs XLA sweep coarse scan")."""
+    BASELINE.md "Pallas vs XLA sweep coarse scan").  Fields too large for
+    VMEM fall back to the XLA gather path rather than failing to compile."""
     import jax as _jax
 
-    return shape.grid is not None and _jax.default_backend() == "tpu"
+    return (
+        shape.grid is not None
+        and shape.grid.field2d.nbytes <= _PALLAS_FIELD_VMEM_BUDGET
+        and _jax.default_backend() == "tpu"
+    )
 
 
 def _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas):
