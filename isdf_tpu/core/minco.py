@@ -130,10 +130,10 @@ def solve(q, T, head, tail, s: int = 3):
 
 
 def trajectory(q, T, head, tail, s: int = 3) -> PolyTraj:
+    """(q, T) → evaluable trajectory; PolyTraj is degree-generic, so min-acc
+    (s=2, degree 3) and min-snap (s=4, degree 7) evaluate end-to-end
+    (ref minco.hpp:201 S2NU, :658 S4NU)."""
     coeffs = solve(q, T, head, tail, s)
-    if s != 3:
-        # pad/truncate to degree-5 container? No — PolyTraj is degree-5 only.
-        raise NotImplementedError("PolyTraj container currently holds 2s=6 coeffs (s=3)")
     return PolyTraj(durations=T, coeffs=coeffs)
 
 

@@ -2,9 +2,10 @@
 
 Re-design of the reference's ``Piece<D>``/``Trajectory<D>``
 (ref: src/utils/include/utils/trajectory.hpp:38,394,105-150,545): a
-trajectory is (durations[N], coeffs[N, 6, 3]) with **ascending** power
+trajectory is (durations[N], coeffs[N, n_coef, 3]) with **ascending** power
 coefficients per piece — pos(s) = Σ_k coeffs[i, k] s^k for local time s in
-piece i.  Degree is fixed at 5 (TRAJ_ORDER=5, jerk-optimal MINCO s=3).
+piece i.  The container is degree-generic: n_coef = 4/6/8 for MINCO
+s = 2/3/4 (the planner's workhorse is the jerk-optimal s=3, TRAJ_ORDER=5).
 
 Everything is shape-static and differentiable; evaluation at a global time
 uses a piece lookup whose index is discrete (gradients flow through the
@@ -19,45 +20,53 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-# Derivative-weight tables for a degree-5 polynomial in ascending powers.
-# basis(s, d)[k] = d^k/ds^k s^k  — i.e. beta_d of the reference
-# (ref back_end_optimizer.hpp:478-483).
-_FACT = [
-    jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),          # pos
-    jnp.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0]),          # vel
-    jnp.array([0.0, 0.0, 2.0, 6.0, 12.0, 20.0]),        # acc
-    jnp.array([0.0, 0.0, 0.0, 6.0, 24.0, 60.0]),        # jerk
-    jnp.array([0.0, 0.0, 0.0, 0.0, 24.0, 120.0]),       # snap
-    jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 120.0]),        # crackle
-]
-_POW = [
-    jnp.array([0, 1, 2, 3, 4, 5]),
-    jnp.array([0, 0, 1, 2, 3, 4]),
-    jnp.array([0, 0, 0, 1, 2, 3]),
-    jnp.array([0, 0, 0, 0, 1, 2]),
-    jnp.array([0, 0, 0, 0, 0, 1]),
-    jnp.array([0, 0, 0, 0, 0, 0]),
-]
+# Derivative-weight tables for an ascending-power polynomial basis:
+# deriv_tables(n)[0][d, k] = k!/(k−d)! (0 for k < d), [1][d, k] = max(k−d, 0)
+# — i.e. beta_d of the reference (ref back_end_optimizer.hpp:478-483),
+# generic in the coefficient count so MINCO s=2 (4 coeffs) / s=3 (6) /
+# s=4 (8) all evaluate through the same container.
+import functools
+import math as _math
+
+import numpy as _np
 
 
-def beta(s, order: int):
-    """Basis vector β_order(s) with β·c = d^order pos / ds^order, shape (..., 6).
+@functools.lru_cache(maxsize=None)
+def deriv_tables(n_coef: int):
+    fact = _np.zeros((n_coef + 1, n_coef))
+    powr = _np.zeros((n_coef + 1, n_coef), dtype=_np.int32)
+    for d in range(n_coef + 1):
+        for k in range(n_coef):
+            if k >= d:
+                fact[d, k] = _math.factorial(k) / _math.factorial(k - d)
+                powr[d, k] = k - d
+    return fact, powr
+
+
+def beta(s, order: int, n_coef: int = 6):
+    """Basis vector β_order(s) with β·c = d^order pos / ds^order,
+    shape (..., n_coef).  Orders ≥ n_coef give the zero vector.
 
     Powers are built by iterated products and a static gather, NOT jnp.power:
     d/ds s⁰ through jnp.power is 0·s⁻¹ = NaN at s = 0, which every piece's
     first sample hits.
     """
     s = jnp.asarray(s)
+    fact, powr = deriv_tables(n_coef)
+    order = min(order, n_coef)
     one = jnp.ones_like(s)
     pows = [one]
-    for _ in range(5):
+    for _ in range(n_coef - 1):
         pows.append(pows[-1] * s)
-    P = jnp.stack(pows, axis=-1)                      # (..., 6): s^0..s^5
-    return _FACT[order].astype(s.dtype) * P[..., _POW[order]]
+    P = jnp.stack(pows, axis=-1)                      # (..., n_coef)
+    return jnp.asarray(fact[order], s.dtype) * P[..., powr[order]]
 
 
 class PolyTraj(NamedTuple):
-    """(durations[N], coeffs[N, 6, 3]) — ascending powers."""
+    """(durations[N], coeffs[N, n_coef, 3]) — ascending powers.
+
+    n_coef = 2s: 4 for MINCO s=2 (min-acc), 6 for s=3 (min-jerk, the
+    planner's workhorse), 8 for s=4 (min-snap)."""
 
     durations: jax.Array
     coeffs: jax.Array
@@ -65,6 +74,10 @@ class PolyTraj(NamedTuple):
     @property
     def n_pieces(self) -> int:
         return self.durations.shape[0]
+
+    @property
+    def n_coef(self) -> int:
+        return self.coeffs.shape[1]
 
     @property
     def total_duration(self):
@@ -92,8 +105,8 @@ class PolyTraj(NamedTuple):
     # -- evaluation ----------------------------------------------------------
     def eval_local(self, idx, s, order: int = 0):
         """Evaluate derivative `order` of piece `idx` at local time `s` → (..., 3)."""
-        c = self.coeffs[idx]                        # (..., 6, 3)
-        b = beta(s, order)                          # (..., 6)
+        c = self.coeffs[idx]                        # (..., n_coef, 3)
+        b = beta(s, order, self.n_coef)             # (..., n_coef)
         return jnp.einsum("...k,...kd->...d", b, c)
 
     def eval(self, t, order: int = 0):
@@ -117,7 +130,8 @@ class PolyTraj(NamedTuple):
         idx, s = self.locate(t)
         c = self.coeffs[idx]
         out = tuple(
-            jnp.einsum("...k,...kd->...d", beta(s, d), c) for d in range(4)
+            jnp.einsum("...k,...kd->...d", beta(s, d, self.n_coef), c)
+            for d in range(4)
         )
         return out
 
@@ -126,7 +140,8 @@ class PolyTraj(NamedTuple):
         idx, s = self.locate(t)
         c = self.coeffs[idx]
         return tuple(
-            jnp.einsum("...k,...kd->...d", beta(s, d), c) for d in range(5)
+            jnp.einsum("...k,...kd->...d", beta(s, d, self.n_coef), c)
+            for d in range(5)
         )
 
     # -- sampling ------------------------------------------------------------

@@ -92,6 +92,7 @@ def fly_closed_loop(
     acc = np.zeros(3)
     goal = np.asarray(goal, dtype=np.float64)
     t = 0.0
+    last_yaw = 0.0
     n_cmd = max(int(replan_dt * cmd_rate), 1)
 
     while t < max_time:
@@ -116,8 +117,12 @@ def fly_closed_loop(
         if not res.success:
             break
 
-        # 3. serve one replan window of commands; kinematic drone follows
-        cmds = sample_horizon(res.traj, jnp.asarray(0.0), n_cmd, rate=cmd_rate)
+        # 3. serve one replan window of commands; kinematic drone follows.
+        # last_yaw carries across replans so the rate-limited yaw chain is
+        # continuous at horizon boundaries (ref traj_server.cpp:85-144).
+        cmds = sample_horizon(res.traj, jnp.asarray(0.0), n_cmd,
+                              rate=cmd_rate, last_yaw=last_yaw)
+        last_yaw = float(cmds.yaw[-1])
         p_np = np.asarray(cmds.position)
         v_np = np.asarray(cmds.velocity)
         a_np = np.asarray(cmds.acceleration)

@@ -58,8 +58,13 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("n", "rate"))
-def sample_horizon(traj, t0, n, rate=100.0):
-    """Sample a whole command horizon [t0, t0 + n/rate) in one scan."""
+def sample_horizon(traj, t0, n, rate=100.0, last_yaw=0.0):
+    """Sample a whole command horizon [t0, t0 + n/rate) in one scan.
+
+    ``last_yaw`` seeds the rate-limited yaw chain: callers replanning in a
+    closed loop must pass the previously-served yaw so commands stay
+    continuous across horizon boundaries (the discontinuity the reference's
+    rate limiter exists to prevent, ref traj_server.cpp:85-144)."""
     dt = 1.0 / rate
     ts = t0 + jnp.arange(n) * dt
 
@@ -67,7 +72,7 @@ def sample_horizon(traj, t0, n, rate=100.0):
         cmd = sample_command(traj, t, last_yaw, dt)
         return cmd.yaw, cmd
 
-    _, cmds = jax.lax.scan(step, jnp.asarray(0.0, ts.dtype), ts)
+    _, cmds = jax.lax.scan(step, jnp.asarray(last_yaw, ts.dtype), ts)
     return cmds
 
 

@@ -21,24 +21,12 @@ import jax.numpy as jnp
 from isdf_tpu.core import flatness as fl
 from isdf_tpu.core.so3 import quat_to_rot
 
-# β factors for orders 0..3 over 6 ascending-power coefficients
-_FACT = np.array(
-    [
-        [1, 1, 1, 1, 1, 1],
-        [0, 1, 2, 3, 4, 5],
-        [0, 0, 2, 6, 12, 20],
-        [0, 0, 0, 6, 24, 60],
-    ],
-    dtype=np.float64,
-)
-_POW = np.array(
-    [
-        [0, 1, 2, 3, 4, 5],
-        [0, 0, 1, 2, 3, 4],
-        [0, 0, 0, 1, 2, 3],
-        [0, 0, 0, 0, 1, 2],
-    ]
-)
+# β factor/power tables, generic in coefficient count (poly.deriv_tables);
+# kept as the 6-coefficient instances for the s=3 workhorse's importers.
+from isdf_tpu.core.poly import deriv_tables
+
+_FACT, _POW = deriv_tables(6)
+_FACT, _POW = _FACT[:4], _POW[:4]
 
 
 def pvaj_all(traj, t, n_orders: int = 4):
@@ -67,17 +55,20 @@ def pvaj_all(traj, t, n_orders: int = 4):
 
     s = t[..., None] - starts                                 # t.shape + (N,)
     s = jnp.clip(s, 0.0, durations)
+    n_coef = traj.coeffs.shape[1]
+    fact_tab, pow_tab = deriv_tables(n_coef)
     one = jnp.ones_like(s)
     pows = [one]
-    for _ in range(5):
+    for _ in range(n_coef - 1):
         pows.append(pows[-1] * s)
-    P6 = jnp.stack(pows, axis=-1)                             # (..., N, 6)
+    P6 = jnp.stack(pows, axis=-1)                             # (..., N, n_coef)
 
-    coeffs = traj.coeffs.astype(dtype)                        # (N, 6, 3)
+    coeffs = traj.coeffs.astype(dtype)                        # (N, n_coef, 3)
     outs = []
     for d in range(n_orders):
-        fact = jnp.asarray(_FACT[d], dtype)
-        b = fact * P6[..., _POW[d]]                           # (..., N, 6)
+        d = min(d, n_coef)
+        fact = jnp.asarray(fact_tab[d], dtype)
+        b = fact * P6[..., pow_tab[d]]                        # (..., N, n_coef)
         per_piece = (b[..., None] * coeffs).sum(-2)           # (..., N, 3)
         outs.append((oh[..., None] * per_piece).sum(-2))
     while len(outs) < 4:

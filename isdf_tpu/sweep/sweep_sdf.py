@@ -211,25 +211,20 @@ def sweep_sdf_warm(
     deeper minimum wins (guards against topology changes between outer
     iterations — the reference's candidate-interval logic).
 
-    Both refinements run as ONE stacked _zoom call over 2P seeds: the zoom's
-    per-round cost on TPU is dominated by sequential-step overhead, not
-    element count, so halving the number of round-steps (vs two sequential
-    zoom calls) nearly halves wall time."""
+    The two refinements run as two SEQUENTIAL P-point zooms, not one stacked
+    2P call: measured on TPU v5e (BASELINE.md "sweep zoom stacking"), the
+    zoom is bound by per-round HBM traffic, so doubling the round's working
+    set costs ~2× while halving the step count saves almost nothing
+    (stacked: 1.40M queries/s, sequential: 2.46M — the r02 regression)."""
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
     t0_coarse, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
 
-    P = p_eva.shape[0]
-    seeds = jnp.concatenate(
-        [jnp.clip(t_warm, 0.0, total), t0_coarse])            # (2P,)
-    p2 = jnp.concatenate([p_eva, p_eva], axis=0)              # (2P, 3)
-    w_warm = jnp.full((P,), warm_window, seeds.dtype)
-    w_coarse = jnp.full((P,), total / (coarse_n - 1), seeds.dtype)
-    w0 = jnp.concatenate([w_warm, w_coarse])
-    t2, d2 = _zoom(shape, traj, params, p2, seeds, w0, refine_rounds)
-    tA, tB = t2[:P], t2[P:]
-    dA, dB = d2[:P], d2[P:]
+    tA, dA = _zoom(shape, traj, params, p_eva,
+                   jnp.clip(t_warm, 0.0, total), warm_window, refine_rounds)
+    tB, dB = _zoom(shape, traj, params, p_eva, t0_coarse,
+                   total / (coarse_n - 1), refine_rounds)
     use_a = dA <= dB
     t_star = jax.lax.stop_gradient(jnp.where(use_a, tA, tB))
     sdf_star = jnp.where(use_a, dA, dB)

