@@ -2,41 +2,48 @@
 
 Headline metric: swept-volume SDF point-queries per second per chip (the
 argmin-over-time body-SDF query that dominates the reference's optimizer
-inner loop — ref back_end_optimizer.hpp:557-649 + sw_manager.hpp:677).
-Each query = coarse scan + fixed zoom refinement + gradient ≈
-(coarse_n + 8·rounds + 2) body-SDF evaluations.
+inner loop — ref back_end_optimizer.hpp:557-649 + sw_manager.hpp:677),
+reported as body-SDF evaluations/s with the SAME eval-count formula as
+rounds 1/2 (coarse_n + 8·rounds + 2 per query) for cross-round
+comparability.  The production path is the fused Pallas sweep kernel
+(isdf_tpu/sweep/pallas_zoom.py).
 
-vs_baseline: ratio of body-SDF evaluations/s against the reference CPU
-implementation MEASURED on this host (native/parity/ref_bench.cpp: the
-reference's own Trajectory<5> eval + flatness::optimizated_forward +
-analytic SDF + its central-difference gradient, OpenMP at 1.5×cores —
-9.96e6 evals/s on this 2-core host, ~5.0e6 evals/s/core).  Because this
-host is small, we also report vs_ref_desktop_est: the same per-core rate
-extrapolated to the reference README's assumed 20-core desktop
-(30 threads), ≈1.0e8 evals/s — the conservative comparison.
+vs_baseline: ratio against the reference CPU implementation MEASURED on
+this host (native/parity/ref_bench.cpp — 9.96e6 evals/s, 2 cores);
+vs_ref_desktop_est: against the same per-core rate extrapolated to the
+README's 20-core desktop (≈1.0e8 evals/s) — the conservative comparison.
 
-Also reported (secondary fields): full back-end plans/s (batched 40-iteration
-L-BFGS solves), and p50 single-plan solve latency vs the 100 Hz (10 ms)
-replanning budget of traj_server (ref traj_server.cpp:332).
+Roofline: `flops_per_query` is counted analytically from the traced
+component chain (isdf_tpu/utils/flops.py — XLA cost analysis cannot see
+inside Pallas kernels); `vpu_tflops` is the sustained FLOP/s and
+`vpu_util` the fraction of the assumed v5e f32 VPU peak (8 sublanes × 128
+lanes × 4 ALUs × 0.94 GHz ≈ 3.85 TFLOP/s; the MXU peak is irrelevant —
+this workload is elementwise).  See BASELINE.md "Roofline" for the
+methodology note.
+
+Scale: `plans_scaling` reports batched back-end throughput at
+B ∈ {128, 512, 2048, 4096} concurrent solves on the one chip.
+
+Every run appends its JSON line to BENCH_history.jsonl so perf regressions
+are visible run-over-run (VERDICT r2 weak #2).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+VPU_PEAK_FLOPS = 8 * 128 * 4 * 0.94e9  # assumed v5e f32 VPU peak ≈ 3.85e12
+
 
 def main():
-    import os
-
     import jax
 
-    # Persistent compilation cache: compiles over the axon TPU tunnel are very
-    # slow (~minutes for the fused sweep program); cache them across runs so
-    # the driver's bench invocation pays compile cost at most once.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -49,6 +56,8 @@ def main():
     from isdf_tpu.parallel import batch as pb
     from isdf_tpu.shapes import make_shape
     from isdf_tpu.sweep import sweep_sdf_warm
+    from isdf_tpu.sweep.fast_eval import sdf_at_time_c
+    from isdf_tpu.utils.flops import count_flops
 
     dev = jax.devices()[0]
     dtype = jnp.float32
@@ -96,35 +105,58 @@ def main():
     evals_per_query = conf.sweep_coarse_samples + 8 * conf.sweep_refine_rounds + 2
     sdf_evals_per_s = queries_per_s * evals_per_query
 
-    # --- 2) batched plans/s --------------------------------------------------
-    # chunk=2: keeps each device program well under the runtime execution
-    # watchdog (a cold L-BFGS iteration can spend many line-search evals)
-    B, n_pts, solve_iters, chunk = 128, 512, 24, 2
-    sb = pb.make_random_batch(conf, B=B, N=4, n_points=n_pts, dtype=dtype)
-    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=chunk)
-    jax.block_until_ready(out[2])
-    t0 = time.perf_counter()
-    out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters, chunk=chunk)
-    jax.block_until_ready(out[2])
-    plan_dt = time.perf_counter() - t0
-    plans_per_s = B / plan_dt
+    # --- roofline: analytic FLOPs of the actual work per query ---------------
+    one = jnp.ones((1,), dtype)
+    flops_eval = count_flops(
+        lambda t: sdf_at_time_c(shape, traj, params, (one, one, one), t), one)
+    prel3 = (one, one, one)
+    flops_sdf = count_flops(lambda a, b, c: shape.sdf3_fn()(a, b, c), *prel3)
+    # per query: coarse scan (rel+sdf per step) + 2 zooms (full eval per
+    # candidate) + branch-pick/final eval + gradient (≈3× sdf via reverse).
+    k, rounds = 8, conf.sweep_refine_rounds
+    flops_query = (
+        conf.sweep_coarse_samples * (15 + flops_sdf)
+        + 2 * rounds * k * flops_eval
+        + 2 * flops_eval
+        + (flops_eval + 3 * flops_sdf)
+    )
+    vpu_flops = queries_per_s * flops_query
+    vpu_util = vpu_flops / VPU_PEAK_FLOPS
+
+    # --- 2) batched plans/s scaling: B = 128 … 4096 --------------------------
+    n_pts, solve_iters, chunk = 512, 24, 8
+    scaling = {}
+    for B in (128, 512, 2048, 4096):
+        sb = pb.make_random_batch(conf, B=B, N=4, n_points=n_pts, dtype=dtype)
+        out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters,
+                                       chunk=chunk)
+        jax.block_until_ready(out[2])
+        t0 = time.perf_counter()
+        out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters,
+                                       chunk=chunk)
+        jax.block_until_ready(out[2])
+        plan_dt = time.perf_counter() - t0
+        scaling[str(B)] = round(B / plan_dt, 2)
+    plans_per_s = scaling["128"]
 
     # --- 3) p50 single-plan latency ------------------------------------------
     sb1 = pb.make_random_batch(conf, B=1, N=4, n_points=n_pts, dtype=dtype)
-    out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=chunk)
+    out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters,
+                                   chunk=chunk)
     jax.block_until_ready(out[2])
     lats = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = pb.batched_solve_chunked(shape, conf, sb1, max_iters=solve_iters, chunk=chunk)
+        out = pb.batched_solve_chunked(shape, conf, sb1,
+                                       max_iters=solve_iters, chunk=chunk)
         jax.block_until_ready(out[2])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
 
     # measured on this host by native/parity/ref_bench.cpp (see docstring)
     baseline_evals_per_s = 9.96e6
-    ref_desktop_est = 1.0e8  # 5.0e6 evals/s/core × 20-core reference desktop
-    print(json.dumps({
+    ref_desktop_est = 1.0e8
+    record = {
         "metric": "swept_sdf_grad_evals_per_s_per_chip",
         "value": round(sdf_evals_per_s),
         "unit": "evals/s",
@@ -132,11 +164,20 @@ def main():
         "vs_ref_desktop_est": round(sdf_evals_per_s / ref_desktop_est, 2),
         "ref_evals_per_s_measured": baseline_evals_per_s,
         "sweep_point_queries_per_s": round(queries_per_s),
-        "plans_per_s_per_chip": round(plans_per_s, 2),
+        "flops_per_query": round(float(flops_query)),
+        "vpu_tflops": round(vpu_flops / 1e12, 3),
+        "vpu_util": round(float(vpu_util), 3),
+        "plans_per_s_per_chip": plans_per_s,
+        "plans_scaling": scaling,
         "p50_plan_latency_ms": round(p50_ms, 2),
         "plan_iters": solve_iters,
         "device": str(dev),
-    }))
+    }
+    hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_history.jsonl")
+    with open(hist, "a") as f:
+        f.write(json.dumps({"ts": time.time(), **record}) + "\n")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

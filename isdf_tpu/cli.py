@@ -50,12 +50,26 @@ def _cmd_demo(args):
         export_traj_csv(os.path.join(args.out, "trajectory.csv"), res.traj)
         np.savetxt(os.path.join(args.out, "astar_path.csv"), res.path,
                    delimiter=",", header="x,y,z")
+        tris = None
         if args.swept_mesh:
             tris = swept_volume_mesh(
                 pm.shape, res.traj, pm.params, resolution=args.mesh_res
             )
             export_obj(os.path.join(args.out, "swept_volume.obj"), tris)
             metrics["swept_mesh_tris"] = int(len(tris))
+        if args.view:
+            from isdf_tpu.viz.html_view import export_plan_view
+
+            swept = None
+            if tris is not None:
+                V = np.asarray(tris).reshape(-1, 3)
+                F = np.arange(len(V)).reshape(-1, 3)
+                swept = (V, F)
+            vp = export_plan_view(
+                os.path.join(args.out, "scene.html"), pm=pm, res=res,
+                swept=swept, params=pm.params,
+                title=f"demo {args.id}")
+            metrics["view_html"] = vp
         if args.monitor:
             from isdf_tpu.utils.monitor import (
                 export_kernel_obj, export_replay_csv)
@@ -146,6 +160,9 @@ def main(argv=None):
     d.add_argument("--monitor", action="store_true",
                    help="live cost breakdown + cost_curve.png/replay.csv "
                         "artifacts (debug_assistant equivalent)")
+    d.add_argument("--view", action="store_true",
+                   help="write an interactive scene.html (map voxels, "
+                        "trajectory, poses, swept mesh — the RViz role)")
     d.set_defaults(fn=_cmd_demo)
 
     b = sub.add_parser("bench", help="run the benchmark harness")

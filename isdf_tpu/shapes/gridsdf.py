@@ -21,23 +21,32 @@ from isdf_tpu.shapes.zoo import Shape
 from isdf_tpu.shapes import mesh as meshlib
 
 
-def _interp(field, origin, res, p):
-    # Pin constants to the query dtype: under jax_enable_x64 the stored
-    # field/origin would otherwise promote a float32 query chain to float64
-    # and break fixed-dtype solver carries (lax.while_loop in opt/lbfgs.py).
-    field = field.astype(p.dtype)
-    origin = origin.astype(p.dtype)
-    res = jnp.asarray(res, p.dtype)
-    g = (p - origin) / res
-    size = jnp.array(field.shape)
-    gc = jnp.clip(g, 0.0, (size - 1).astype(g.dtype) - 1e-5)
-    i0 = jnp.clip(jnp.floor(gc).astype(jnp.int32), 0, size - 2)
-    f = gc - i0.astype(gc.dtype)
+def _interp3(field, origin, res, px, py, pz):
+    """Component-form trilinear interpolation + outside fallback.
+
+    Pins constants to the query dtype: under jax_enable_x64 the stored
+    field/origin would otherwise promote a float32 query chain to float64
+    and break fixed-dtype solver carries (lax.while_loop in opt/lbfgs.py).
+    """
+    dt = px.dtype
+    field = field.astype(dt)
+    o = [jnp.asarray(origin[i], dt) for i in range(3)]
+    res = jnp.asarray(res, dt)
+    n = field.shape
+
+    def axis(p, i):
+        g = (p - o[i]) / res
+        gc = jnp.clip(g, 0.0, (n[i] - 1) - 1e-5)
+        i0 = jnp.clip(jnp.floor(gc).astype(jnp.int32), 0, n[i] - 2)
+        return g, i0, gc - i0.astype(dt)
+
+    gx, ix, fx = axis(px, 0)
+    gy, iy, fy = axis(py, 1)
+    gz, iz, fz = axis(pz, 2)
 
     def gat(ox, oy, oz):
-        return field[i0[..., 0] + ox, i0[..., 1] + oy, i0[..., 2] + oz]
+        return field[ix + ox, iy + oy, iz + oz]
 
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     c00 = gat(0, 0, 0) * (1 - fx) + gat(1, 0, 0) * fx
     c10 = gat(0, 1, 0) * (1 - fx) + gat(1, 1, 0) * fx
     c01 = gat(0, 0, 1) * (1 - fx) + gat(1, 0, 1) * fx
@@ -47,10 +56,16 @@ def _interp(field, origin, res, p):
     inner = c0 * (1 - fz) + c1 * fz
 
     # outside fallback: clamp-point value + distance to the grid box
-    hi = origin + (size - 1).astype(p.dtype) * res
-    over = jnp.maximum(p - hi, 0.0) + jnp.minimum(p - origin, 0.0)
-    outside = jnp.sqrt(jnp.sum(over * over, axis=-1) + 1e-12)
+    def over(g, i):
+        return jnp.maximum(g - (n[i] - 1), 0.0) + jnp.minimum(g, 0.0)
+
+    ov2 = over(gx, 0) ** 2 + over(gy, 1) ** 2 + over(gz, 2) ** 2
+    outside = jnp.sqrt(ov2 * (res * res) + 1e-12)
     return inner + outside
+
+
+def _interp(field, origin, res, p):
+    return _interp3(field, origin, res, p[..., 0], p[..., 1], p[..., 2])
 
 
 def grid_shape(name: str, field, origin, resolution, bounds=None) -> Shape:
@@ -68,8 +83,11 @@ def grid_shape(name: str, field, origin, resolution, bounds=None) -> Shape:
     def sdf(p):
         return _interp(field, origin, res, p)
 
+    def sdf3(px, py, pz):
+        return _interp3(field, origin, res, px, py, pz)
+
     pg = pad_grid(field_np, origin_np, float(resolution))
-    return Shape(name=name, sdf=sdf, bounds=bounds, grid=pg)
+    return Shape(name=name, sdf=sdf, bounds=bounds, grid=pg, sdf3=sdf3)
 
 
 def mesh_shape(

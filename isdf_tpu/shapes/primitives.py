@@ -6,10 +6,21 @@ library: sphere, capsule, box, rounded/wireframe box, torus, cylinder,
 capped/rounded cylinder, capped/rounded cone, ellipsoid, pyramid,
 tetrahedron, octahedron, dodecahedron, icosahedron) implemented from the
 standard quadric/fold closed forms (Inigo Quilez's catalogue — also the
-reference's own source).  Every function maps points ``p`` of shape (..., 3)
-to signed distances of shape (...), is differentiable (no finite-difference
-``DEFINE_USEFUL_FUNCTION`` macro needed — ref Shape.hpp:32-88 uses dx=5e-6
-central differences), and vmaps/fuses cleanly on TPU.
+reference's own source).
+
+Every primitive has ONE implementation, in **component form**
+``f(px, py, pz, *params) → d`` where px/py/pz broadcast against each other:
+on TPU the vector register lanes hold the (large) point dimension, so the
+whole SDF chain runs at full lane utilization — an array-of-structs
+``(..., 3)`` layout would put the size-3 component axis in the lanes and run
+at 3/128 efficiency (measured 25×+ slower in the sweep zoom, BASELINE.md
+"sweep kernel measurements").  The classic ``p (..., 3) → (...)`` API is a
+thin slicing wrapper per primitive, kept for geometry utilities and parity
+tests.
+
+All are differentiable (no finite-difference ``DEFINE_USEFUL_FUNCTION``
+macro needed — ref Shape.hpp:32-88 uses dx=5e-6 central differences) and
+fuse cleanly on TPU.
 """
 
 from __future__ import annotations
@@ -21,8 +32,17 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+def _n3(x, y, z):
+    """NaN-safe 3-component norm (gradient defined at 0)."""
+    return jnp.sqrt(x * x + y * y + z * z + _EPS)
+
+
+def _n2(x, y):
+    return jnp.sqrt(x * x + y * y + _EPS)
+
+
 def _norm(v, axis=-1):
-    """NaN-safe vector norm (gradient defined at 0)."""
+    """NaN-safe vector norm (gradient defined at 0) — AoS helper."""
     return jnp.sqrt(jnp.sum(v * v, axis=axis) + _EPS)
 
 
@@ -30,109 +50,123 @@ def _norm0(v, axis=-1):
     return jnp.sqrt(jnp.sum(v * v, axis=axis))
 
 
-def sphere(p, r):
-    return _norm(p) - r
+def _aos(f3):
+    """Wrap a component-form SDF into the classic (..., 3) API."""
+    def f(p, *args, **kw):
+        return f3(p[..., 0], p[..., 1], p[..., 2], *args, **kw)
+    return f
 
 
-def point(p):
-    return _norm(p)
+# -- quadrics ---------------------------------------------------------------
+
+def sphere_c(px, py, pz, r):
+    return _n3(px, py, pz) - r
 
 
-def box(p, half):
+def point_c(px, py, pz):
+    return _n3(px, py, pz)
+
+
+def box_c(px, py, pz, half):
     """Axis-aligned box with half-extents ``half`` (ref Shape.hpp:2344-2352)."""
-    q = jnp.abs(p) - jnp.asarray(half)
-    outside = _norm(jnp.maximum(q, 0.0))
-    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    hx, hy, hz = (float(h) for h in half)
+    qx = jnp.abs(px) - hx
+    qy = jnp.abs(py) - hy
+    qz = jnp.abs(pz) - hz
+    outside = _n3(jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0),
+                  jnp.maximum(qz, 0.0))
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
     return outside + inside
 
 
-def rounded_box(p, half, r):
-    return box(p, half) - r
+def rounded_box_c(px, py, pz, half, r):
+    return box_c(px, py, pz, half) - r
 
 
-def wireframe_box(p, size, thickness):
+def wireframe_box_c(px, py, pz, size, thickness):
     """Box wireframe (ref Shape.hpp:1049-1103 WireframeBox)."""
-    size = jnp.asarray(size)
-    ps = jnp.abs(p) - size / 2 - thickness / 2
-    q = jnp.abs(ps + thickness / 2) - thickness / 2
+    sx, sy, sz = (float(s) for s in size)
+    th = float(thickness)
+    psx = jnp.abs(px) - sx / 2 - th / 2
+    psy = jnp.abs(py) - sy / 2 - th / 2
+    psz = jnp.abs(pz) - sz / 2 - th / 2
+    qx = jnp.abs(psx + th / 2) - th / 2
+    qy = jnp.abs(psy + th / 2) - th / 2
+    qz = jnp.abs(psz + th / 2) - th / 2
 
     def g(a, b, c):
-        v = jnp.stack([a, b, c], axis=-1)
-        return _norm(jnp.maximum(v, 0.0)) + jnp.minimum(
-            jnp.max(v, axis=-1), 0.0
-        )
+        return _n3(
+            jnp.maximum(a, 0.0), jnp.maximum(b, 0.0), jnp.maximum(c, 0.0)
+        ) + jnp.minimum(jnp.maximum(a, jnp.maximum(b, c)), 0.0)
 
-    px, py, pz = ps[..., 0], ps[..., 1], ps[..., 2]
-    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
-    return jnp.minimum(jnp.minimum(g(px, qy, qz), g(qx, py, qz)), g(qx, qy, pz))
+    return jnp.minimum(
+        jnp.minimum(g(psx, qy, qz), g(qx, psy, qz)), g(qx, qy, psz)
+    )
 
 
-def torus(p, ring_r, tube_r):
+def torus_c(px, py, pz, ring_r, tube_r):
     """Torus in the x–z plane (axis = y), matching the reference's Torus
     (ref Shape.hpp:824-860: q = (‖(x,z)‖ − R, y))."""
-    q = jnp.stack(
-        [_norm(p[..., jnp.array([0, 2])]) - ring_r, p[..., 1]], axis=-1
-    )
-    return _norm(q) - tube_r
+    qx = _n2(px, pz) - ring_r
+    return _n2(qx, py) - tube_r
 
 
-def capped_torus(p, sc, ra, rb):
+def capped_torus_c(px, py, pz, sc, ra, rb):
     """Capped torus (ref Shape.hpp:896-931 Cappedtorus)."""
-    sc = jnp.asarray(sc)
-    px = jnp.abs(p[..., 0])
-    py, pz = p[..., 1], p[..., 2]
-    k = jnp.where(
-        sc[1] * px > sc[0] * py,
-        px * sc[0] + py * sc[1],
-        _norm(jnp.stack([px, py], axis=-1)),
-    )
-    psq = px * px + py * py + pz * pz
+    s0, s1 = float(sc[0]), float(sc[1])
+    ax = jnp.abs(px)
+    k = jnp.where(s1 * ax > s0 * py, ax * s0 + py * s1, _n2(ax, py))
+    psq = ax * ax + py * py + pz * pz
     return jnp.sqrt(jnp.maximum(psq + ra * ra - 2.0 * ra * k, _EPS)) - rb
 
 
-def capsule(p, a, b, r):
-    a, b = jnp.asarray(a), jnp.asarray(b)
-    pa = p - a
-    ba = b - a
-    h = jnp.clip(
-        jnp.sum(pa * ba, axis=-1) / jnp.sum(ba * ba, axis=-1), 0.0, 1.0
-    )
-    return _norm(pa - h[..., None] * ba) - r
+def capsule_c(px, py, pz, a, b, r):
+    ax, ay, az = (float(v) for v in a)
+    bx, by, bz = (float(v) for v in b)
+    pax, pay, paz = px - ax, py - ay, pz - az
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    bb = bax * bax + bay * bay + baz * baz
+    h = jnp.clip((pax * bax + pay * bay + paz * baz) / bb, 0.0, 1.0)
+    return _n3(pax - h * bax, pay - h * bay, paz - h * baz) - r
 
 
-def cylinder(p, r):
+def cylinder_c(px, py, pz, r):
     """Infinite cylinder along z."""
-    return _norm(p[..., :2]) - r
+    return _n2(px, py) - r
 
 
-def capped_cylinder(p, r, h):
-    d = jnp.stack([_norm(p[..., :2]) - r, jnp.abs(p[..., 2]) - h], axis=-1)
-    return jnp.minimum(jnp.max(d, axis=-1), 0.0) + _norm(jnp.maximum(d, 0.0))
-
-
-def rounded_cylinder(p, ra, rb, h):
-    d = jnp.stack(
-        [_norm(p[..., :2]) - 2.0 * ra + rb, jnp.abs(p[..., 2]) - h], axis=-1
+def capped_cylinder_c(px, py, pz, r, h):
+    dx = _n2(px, py) - r
+    dy = jnp.abs(pz) - h
+    return jnp.minimum(jnp.maximum(dx, dy), 0.0) + _n2(
+        jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0)
     )
+
+
+def rounded_cylinder_c(px, py, pz, ra, rb, h):
+    dx = _n2(px, py) - 2.0 * ra + rb
+    dy = jnp.abs(pz) - h
     return (
-        jnp.minimum(jnp.max(d, axis=-1), 0.0)
-        + _norm(jnp.maximum(d, 0.0))
+        jnp.minimum(jnp.maximum(dx, dy), 0.0)
+        + _n2(jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0))
         - rb
     )
 
 
-def capped_cone(p, a, b, ra, rb):
+def capped_cone_c(px, py, pz, a, b, ra, rb):
     """Capped cone between points a (radius ra) and b (radius rb).
 
     (ref Shape.hpp:933-1000 CappedCone — note the reference returns
     s·sqrt(|d|)/|baba| with d already a squared distance; we reproduce that
     exact (unconventional) metric so parity holds.)"""
-    a, b = jnp.asarray(a), jnp.asarray(b)
+    ax, ay, az = (float(v) for v in a)
+    bx, by, bz = (float(v) for v in b)
     rba = rb - ra
-    baba = jnp.sum((b - a) ** 2)
-    pa = p - a
-    papa = jnp.sum(pa * pa, axis=-1)
-    paba = jnp.sum(pa * (b - a), axis=-1) / baba
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    baba = bax * bax + bay * bay + baz * baz
+    pax, pay, paz = px - ax, py - ay, pz - az
+    papa = pax * pax + pay * pay + paz * paz
+    paba = (pax * bax + pay * bay + paz * baz) / baba
     x = jnp.sqrt(jnp.maximum(papa - paba * paba * baba, _EPS))
     cax = jnp.maximum(0.0, x - jnp.where(paba < 0.5, ra, rb))
     cay = jnp.abs(paba - 0.5) - 0.5
@@ -147,47 +181,44 @@ def capped_cone(p, a, b, ra, rb):
     return s * jnp.sqrt(jnp.maximum(d, _EPS)) / baba
 
 
-def rounded_cone(p, r1, r2, h):
+def rounded_cone_c(px, py, pz, r1, r2, h):
     """Round cone along +z from radius r1 at 0 to r2 at h
     (ref Shape.hpp:1002-1047 RoundedCone, which works in (‖xy‖, z))."""
-    q = jnp.stack([_norm(p[..., :2]), p[..., 2]], axis=-1)
+    qx = _n2(px, py)
+    qy = pz
     b = (r1 - r2) / h
     a = jnp.sqrt(jnp.maximum(1.0 - b * b, _EPS))
-    k = -b * q[..., 0] + a * q[..., 1]
-    c1 = _norm(q) - r1
-    c2 = (
-        jnp.sqrt(q[..., 0] ** 2 + (q[..., 1] - h) ** 2 + _EPS) - r2
-    )
-    c3 = (a * q[..., 0] + b * q[..., 1]) - r1
+    k = -b * qx + a * qy
+    c1 = _n2(qx, qy) - r1
+    c2 = jnp.sqrt(qx * qx + (qy - h) ** 2 + _EPS) - r2
+    c3 = (a * qx + b * qy) - r1
     return jnp.where(k < 0.0, c1, jnp.where(k > a * h, c2, c3))
 
 
-def ellipsoid(p, radii):
-    radii = jnp.asarray(radii)
-    k0 = _norm(p / radii)
-    k1 = _norm(p / (radii * radii))
+def ellipsoid_c(px, py, pz, radii):
+    rx, ry, rz = (float(r) for r in radii)
+    k0 = _n3(px / rx, py / ry, pz / rz)
+    k1 = _n3(px / (rx * rx), py / (ry * ry), pz / (rz * rz))
     return k0 * (k0 - 1.0) / jnp.maximum(k1, _EPS)
 
 
-def plane(p, n, d=0.0):
-    n = jnp.asarray(n)
-    return jnp.sum(p * n, axis=-1) + d
+def plane_c(px, py, pz, n, d=0.0):
+    nx, ny, nz = (float(v) for v in n)
+    return px * nx + py * ny + pz * nz + d
 
 
-def octahedron(p, s):
-    q = jnp.abs(p)
-    return (q[..., 0] + q[..., 1] + q[..., 2] - s) * 0.57735027
+def octahedron_c(px, py, pz, s):
+    return (jnp.abs(px) + jnp.abs(py) + jnp.abs(pz) - s) * 0.57735027
 
 
-def pyramid(p, h):
+def pyramid_c(px, py, pz, h):
     """Square pyramid, base side 1 on y=0 plane, apex height h (IQ exact)."""
     m2 = h * h + 0.25
-    px = jnp.abs(p[..., 0])
-    pz = jnp.abs(p[..., 2])
-    py = p[..., 1]
-    swap = pz > px
-    px2 = jnp.where(swap, pz, px) - 0.5
-    pz2 = jnp.where(swap, px, pz) - 0.5
+    apx = jnp.abs(px)
+    apz = jnp.abs(pz)
+    swap = apz > apx
+    px2 = jnp.where(swap, apz, apx) - 0.5
+    pz2 = jnp.where(swap, apx, apz) - 0.5
     qx = pz2
     qy = h * py - 0.5 * px2
     qz = h * px2 + 0.5 * py
@@ -203,15 +234,10 @@ def pyramid(p, h):
     )
 
 
-def _plane_fold(p, n, s):
-    """max over signed plane distances — polyhedra helper."""
-    return jnp.sum(p * jnp.asarray(n), axis=-1) - s
-
-
-def tetrahedron(p, r):
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+def tetrahedron_c(px, py, pz, r):
     md = jnp.maximum(
-        jnp.maximum(-x - y - z, x + y - z), jnp.maximum(-x + y + z, x - y + z)
+        jnp.maximum(-px - py - pz, px + py - pz),
+        jnp.maximum(-px + py + pz, px - py + pz),
     )
     return (md - r) / math.sqrt(3.0)
 
@@ -219,33 +245,48 @@ def tetrahedron(p, r):
 _PHI = (1 + math.sqrt(5.0)) / 2
 
 
-def dodecahedron(p, r):
-    n = jnp.array([_PHI, 1.0, 0.0]) / math.sqrt(_PHI * _PHI + 1.0)
-    q = jnp.abs(p)
-    d = jnp.stack(
-        [
-            q[..., 0] * n[0] + q[..., 1] * n[1],
-            q[..., 1] * n[0] + q[..., 2] * n[1],
-            q[..., 2] * n[0] + q[..., 0] * n[1],
-        ],
-        axis=-1,
+def dodecahedron_c(px, py, pz, r):
+    n0 = _PHI / math.sqrt(_PHI * _PHI + 1.0)
+    n1 = 1.0 / math.sqrt(_PHI * _PHI + 1.0)
+    qx, qy, qz = jnp.abs(px), jnp.abs(py), jnp.abs(pz)
+    d = jnp.maximum(
+        jnp.maximum(qx * n0 + qy * n1, qy * n0 + qz * n1), qz * n0 + qx * n1
     )
-    return jnp.max(d, axis=-1) - r * n[0]
+    return d - r * n0
 
 
-def icosahedron(p, r):
+def icosahedron_c(px, py, pz, r):
     n1 = 1.0 / math.sqrt(3.0)
-    n2v = jnp.array([_PHI + 1.0, 1.0, 0.0])
-    n2 = n2v / jnp.linalg.norm(n2v)
-    q = jnp.abs(p)
-    a = jnp.sum(q * n1, axis=-1)
-    d = jnp.stack(
-        [
-            q[..., 0] * n2[0] + q[..., 1] * n2[1],
-            q[..., 1] * n2[0] + q[..., 2] * n2[1],
-            q[..., 2] * n2[0] + q[..., 0] * n2[1],
-        ],
-        axis=-1,
+    nn = math.sqrt((_PHI + 1.0) ** 2 + 1.0)
+    n20, n21 = (_PHI + 1.0) / nn, 1.0 / nn
+    qx, qy, qz = jnp.abs(px), jnp.abs(py), jnp.abs(pz)
+    a = (qx + qy + qz) * n1
+    b = jnp.maximum(
+        jnp.maximum(qx * n20 + qy * n21, qy * n20 + qz * n21),
+        qz * n20 + qx * n21,
     )
-    b = jnp.max(d, axis=-1)
     return jnp.maximum(a, b) - r * n1
+
+
+# -- classic (..., 3) API — thin wrappers over the component cores ----------
+
+sphere = _aos(sphere_c)
+point = _aos(point_c)
+box = _aos(box_c)
+rounded_box = _aos(rounded_box_c)
+wireframe_box = _aos(wireframe_box_c)
+torus = _aos(torus_c)
+capped_torus = _aos(capped_torus_c)
+capsule = _aos(capsule_c)
+cylinder = _aos(cylinder_c)
+capped_cylinder = _aos(capped_cylinder_c)
+rounded_cylinder = _aos(rounded_cylinder_c)
+capped_cone = _aos(capped_cone_c)
+rounded_cone = _aos(rounded_cone_c)
+ellipsoid = _aos(ellipsoid_c)
+plane = _aos(plane_c)
+octahedron = _aos(octahedron_c)
+pyramid = _aos(pyramid_c)
+tetrahedron = _aos(tetrahedron_c)
+dodecahedron = _aos(dodecahedron_c)
+icosahedron = _aos(icosahedron_c)

@@ -64,6 +64,23 @@ class Shape:
     # (sweep/pallas_grid.py); excluded from eq/hash — jit staticness keys on
     # (name, sdf identity, bounds).
     grid: Optional[object] = field(default=None, compare=False)
+    # component-form field (px, py, pz) → d — the TPU hot-path entry point:
+    # the sweep layer keeps the point dimension minor (in the vector lanes)
+    # through the whole chain (see shapes/primitives.py docstring).
+    sdf3: Optional[Callable] = field(default=None, compare=False)
+
+    def sdf3_fn(self) -> Callable:
+        """Component-form SDF; falls back to stacking into ``sdf``."""
+        if self.sdf3 is not None:
+            return self.sdf3
+        return lambda x, y, z: self.sdf(jnp.stack([x, y, z], axis=-1))
+
+    def grad3(self, x, y, z):
+        """Component-form gradient (∂d/∂x, ∂d/∂y, ∂d/∂z)."""
+        f3 = self.sdf3_fn()
+        return jax.grad(
+            lambda a, b, c: jnp.sum(f3(a, b, c)), argnums=(0, 1, 2)
+        )(x, y, z)
 
     def grad(self, p):
         """∂sdf/∂p, shape (..., 3) (replaces getonlyGrad1)."""
@@ -79,36 +96,42 @@ class Shape:
         return self.sdf(p_rel)
 
 
-def _posed(name, f, bounds, conf) -> Shape:
+def _posed(name, f3, bounds, conf) -> Shape:
+    """Build a Shape from a component-form SDF (px, py, pz) → d."""
     poly = getattr(conf, "poly_params", (0.0,) * 6) if conf is not None else (0.0,) * 6
     t, R = _pose_from_poly_params(poly)
     if np.allclose(t, 0.0) and np.allclose(R, np.eye(3)):
-        g = f
+        g3 = f3
     else:
-        g = ops.transformed(f, R, t)
-    return Shape(name=name, sdf=g, bounds=bounds)
+        g3 = ops.transformed3(f3, R, t)
+    return Shape(name=name, sdf=ops.aos(g3), bounds=bounds, sdf3=g3)
 
 
 # --- individual shape factories (parameters = reference defaults) -----------
 
 def ball(conf=None, radius: float = 1.0) -> Shape:
-    return _posed("Ball", lambda p: pr.sphere(p, radius), (radius,) * 3, conf)
+    return _posed(
+        "Ball", lambda x, y, z: pr.sphere_c(x, y, z, radius),
+        (radius,) * 3, conf,
+    )
 
 
 def point(conf=None) -> Shape:
-    return _posed("Point", pr.point, (0.1,) * 3, conf)
+    return _posed("Point", pr.point_c, (0.1,) * 3, conf)
 
 
 def torus(conf=None, ring_r: float = 2.5, tube_r: float = 0.3) -> Shape:
     # NB the reference names these backwards: tubeRadius{2.5} is the ring
     # radius in its own formula (Shape.hpp:827-848).
     b = (ring_r + tube_r, tube_r, ring_r + tube_r)
-    return _posed("Torus", lambda p: pr.torus(p, ring_r, tube_r), b, conf)
+    return _posed(
+        "Torus", lambda x, y, z: pr.torus_c(x, y, z, ring_r, tube_r), b, conf
+    )
 
 
 def torus_big(conf=None) -> Shape:
     s = torus(conf, ring_r=3.5, tube_r=0.3)
-    return Shape("Torus_big", s.sdf, s.bounds)
+    return Shape("Torus_big", s.sdf, s.bounds, sdf3=s.sdf3)
 
 
 def capped_torus(conf=None) -> Shape:
@@ -117,7 +140,8 @@ def capped_torus(conf=None) -> Shape:
     ra, rb = 3.5, 0.3
     b = (ra + rb, ra + rb, rb)
     return _posed(
-        "Cappedtorus", lambda p: pr.capped_torus(p, sc, ra, rb), b, conf
+        "Cappedtorus",
+        lambda x, y, z: pr.capped_torus_c(x, y, z, sc, ra, rb), b, conf,
     )
 
 
@@ -125,7 +149,7 @@ def capped_cone(conf=None) -> Shape:
     a, b_, ra, rb = (0.0, 0.0, -1.0), (0.0, 0.0, 1.0), 2.0, 0.8
     return _posed(
         "CappedCone",
-        lambda p: pr.capped_cone(p, a, b_, ra, rb),
+        lambda x, y, z: pr.capped_cone_c(x, y, z, a, b_, ra, rb),
         (2.0, 2.0, 1.0),
         conf,
     )
@@ -135,7 +159,7 @@ def rounded_cone(conf=None) -> Shape:
     r1, r2, h = 1.5, 0.6, 4.5
     return _posed(
         "RoundedCone",
-        lambda p: pr.rounded_cone(p, r1, r2, h),
+        lambda x, y, z: pr.rounded_cone_c(x, y, z, r1, r2, h),
         (r1, r1, h + r2),
         conf,
     )
@@ -145,13 +169,14 @@ def wireframe_box(conf=None) -> Shape:
     size, th = (1.8, 2.5, 3.5), 0.1
     b = tuple(s / 2 + th for s in size)
     return _posed(
-        "WireframeBox", lambda p: pr.wireframe_box(p, size, th), b, conf
+        "WireframeBox",
+        lambda x, y, z: pr.wireframe_box_c(x, y, z, size, th), b, conf,
     )
 
 
 def bend_linear(conf=None) -> Shape:
-    f = ops.bend_linear(
-        lambda p: pr.capsule(p, (0, 0, -2.0), (0, 0, 2.0), 0.25),
+    f = ops.bend_linear3(
+        lambda x, y, z: pr.capsule_c(x, y, z, (0, 0, -2.0), (0, 0, 2.0), 0.25),
         (0, 0, -1.0),
         (0, 0, 1.0),
         (-1.0, 0, 0),
@@ -160,8 +185,8 @@ def bend_linear(conf=None) -> Shape:
 
 
 def bend_linear_big(conf=None) -> Shape:
-    f = ops.bend_linear(
-        lambda p: pr.capsule(p, (0, 0, -3.2), (0, 0, 3.2), 0.45),
+    f = ops.bend_linear3(
+        lambda x, y, z: pr.capsule_c(x, y, z, (0, 0, -3.2), (0, 0, 3.2), 0.45),
         (0, 0, -1.0),
         (0, 0, 1.0),
         (-1.0, 0, 0),
@@ -170,12 +195,14 @@ def bend_linear_big(conf=None) -> Shape:
 
 
 def twist_box(conf=None) -> Shape:
-    f = ops.twist(lambda p: pr.box(p, (1.0, 1.0, 1.0)), math.pi / 6)
+    f = ops.twist3(
+        lambda x, y, z: pr.box_c(x, y, z, (1.0, 1.0, 1.0)), math.pi / 6
+    )
     return _posed("TwistBox", f, (1.5, 1.5, 1.0), conf)
 
 
 def bend_box(conf=None) -> Shape:
-    f = ops.bend(lambda p: pr.box(p, (1.0, 1.0, 1.0)), 0.5)
+    f = ops.bend3(lambda x, y, z: pr.box_c(x, y, z, (1.0, 1.0, 1.0)), 0.5)
     return _posed("BendBox", f, (1.6, 1.6, 1.0), conf)
 
 
@@ -184,13 +211,13 @@ def table(conf=None) -> Shape:
     # corner pairs (a1,b1), (a2,b2).
     a1, b1 = np.array([0.0, 0.0, 0.0]), np.array([3.5, 1.75, 0.7])
     a2, b2 = np.array([2.8, 1.05, 0.0]), np.array([3.5, 1.75, 2.8])
+    c1, h1 = (a1 + b1) / 2, (b1 - a1) / 2
+    c2, h2 = (a2 + b2) / 2, (b2 - a2) / 2
 
-    def f(p):
-        q = jnp.stack(
-            [jnp.abs(p[..., 0]), jnp.abs(p[..., 1]), p[..., 2]], axis=-1
-        )
-        f1 = pr.box(q - (a1 + b1) / 2, (b1 - a1) / 2)
-        f2 = pr.box(q - (a2 + b2) / 2, (b2 - a2) / 2)
+    def f(x, y, z):
+        qx, qy, qz = jnp.abs(x), jnp.abs(y), z
+        f1 = pr.box_c(qx - c1[0], qy - c1[1], qz - c1[2], h1)
+        f2 = pr.box_c(qx - c2[0], qy - c2[1], qz - c2[2], h2)
         return jnp.minimum(f1, f2)
 
     return _posed("Table", f, (3.5, 1.75, 2.8), conf)
@@ -200,11 +227,13 @@ def blobby(conf=None) -> Shape:
     """Smooth union of four balls. The reference's Blobby has no return
     statement (Shape.hpp:1407-1436, undefined behaviour); this implements
     the shape its structure implies."""
-    s1 = lambda p: pr.sphere(p - jnp.array([1.0, 0.0, 0.0]), 1.0)
-    s2 = lambda p: pr.sphere(p - jnp.array([-1.0, 0.0, 0.0]), 1.0)
-    s3 = lambda p: pr.sphere(p - jnp.array([0.0, 1.2, 0.0]), 0.8)
-    s4 = lambda p: pr.sphere(p - jnp.array([0.0, 0.0, 1.2]), 0.8)
-    f = ops.smooth_union(ops.smooth_union(s1, s2, 0.5), ops.smooth_union(s3, s4, 0.5), 0.5)
+    s1 = lambda x, y, z: pr.sphere_c(x - 1.0, y, z, 1.0)
+    s2 = lambda x, y, z: pr.sphere_c(x + 1.0, y, z, 1.0)
+    s3 = lambda x, y, z: pr.sphere_c(x, y - 1.2, z, 0.8)
+    s4 = lambda x, y, z: pr.sphere_c(x, y, z - 1.2, 0.8)
+    f = ops.smooth_union3(
+        ops.smooth_union3(s1, s2, 0.5), ops.smooth_union3(s3, s4, 0.5), 0.5
+    )
     return _posed("Blobby", f, (2.2, 2.2, 2.2), conf)
 
 
@@ -212,8 +241,7 @@ def trefoil(conf=None) -> Shape:
     """Trefoil knot tube (ref Shape.hpp:1440-1513: polar fold + 1.5·θ twist
     of a rounded 2-D box profile)."""
 
-    def f(p):
-        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    def f(x, y, z):
         r, py = 3.5, -z
         a = jnp.arctan2(y, x)
         qx = jnp.sqrt(x * x + y * y + 1e-12) - r
@@ -240,9 +268,9 @@ def trefoil(conf=None) -> Shape:
 def _box_sphere(size, radius, mode) -> Callable:
     size = np.asarray(size)
 
-    def f(p):
-        box_sdf = pr.box(p, size / 2)
-        sph = pr.sphere(p, radius)
+    def f(x, y, z):
+        box_sdf = pr.box_c(x, y, z, size / 2)
+        sph = pr.sphere_c(x, y, z, radius)
         return ops._smooth_pair(box_sdf, sph, 0.25, mode)
 
     return f
@@ -280,13 +308,14 @@ def smooth_intersection_big(conf=None) -> Shape:
 def csg(conf=None) -> Shape:
     """The reference's CSG demo body (Shape.hpp:2092-2118):
     (sphere(3) ∩ box(4.5)) − (cyl_x ∪ cyl_y ∪ cyl_z), cylinders r=1.5."""
-    f = ops.intersection(
-        lambda p: pr.sphere(p, 3.0), lambda p: pr.box(p, (2.25, 2.25, 2.25))
+    f = ops.intersection3(
+        lambda x, y, z: pr.sphere_c(x, y, z, 3.0),
+        lambda x, y, z: pr.box_c(x, y, z, (2.25, 2.25, 2.25)),
     )
-    cz = lambda p: pr.cylinder(p, 1.5)
-    cx = lambda p: pr.cylinder(p[..., jnp.array([1, 2, 0])], 1.5)
-    cy = lambda p: pr.cylinder(p[..., jnp.array([2, 0, 1])], 1.5)
-    final = ops.difference(f, ops.union(cx, cy, cz))
+    cz = lambda x, y, z: pr.cylinder_c(x, y, z, 1.5)
+    cx = lambda x, y, z: pr.cylinder_c(y, z, x, 1.5)
+    cy = lambda x, y, z: pr.cylinder_c(z, x, y, 1.5)
+    final = ops.difference3(f, ops.union3(cx, cy, cz))
     return _posed("CSG", final, (2.25, 2.25, 2.25), conf)
 
 
@@ -297,7 +326,8 @@ def box(conf=None) -> Shape:
     # NB ref Shape.hpp:2344-2351 subtracts the *full* (box_x,box_y,box_z)
     # from |p|, i.e. config values are half-extents.
     return _posed(
-        "Box", lambda p: pr.box(p, (bx, by, bz)), (bx, by, bz), conf
+        "Box", lambda x, y, z: pr.box_c(x, y, z, (bx, by, bz)),
+        (bx, by, bz), conf,
     )
 
 

@@ -85,3 +85,141 @@ def sdf_at_time_fast(shape, traj, params, p_eva, t):
     pos3, R = fl.pose_of(pos, vel, acc, jer, params)
     p_rel = jnp.einsum("...ji,...j->...i", R, p_eva - pos3)
     return shape.sdf(p_rel)
+
+
+# ===========================================================================
+# Transposed (structure-of-arrays) hot path
+#
+# All arrays keep the LARGE query dimension minor-most so TPU vector lanes
+# are fully utilized; components travel as separate arrays instead of a
+# trailing (..., 3) axis (which would put 3 elements in 128 lanes — measured
+# 25×+ slower, BASELINE.md "sweep kernel measurements").  Numerics: Horner
+# evaluation per piece (vs power-basis contraction) — identical to ~1 ulp.
+# ===========================================================================
+
+
+def pvaj_components(traj, t, n_orders: int = 3):
+    """pos/vel/acc[/jerk] components at global times t (any shape, large dim
+    minor).  Returns ``n_orders`` 3-tuples of arrays shaped like t.
+
+    Gather-free: unrolls the (static) piece loop, accumulating each piece's
+    Horner evaluation under its selection mask — the lane-optimal twin of
+    :func:`pvaj_all`.
+    """
+    dtype = t.dtype
+    durations = traj.durations.astype(dtype)          # (N,)
+    cum = jnp.cumsum(durations)
+    starts = cum - durations
+    N = durations.shape[0]
+    n_coef = traj.coeffs.shape[1]
+    coeffs = traj.coeffs.astype(dtype)                # (N, n_coef, 3)
+
+    tc = jax.lax.stop_gradient(jnp.clip(t, 0.0, cum[-1]))
+    idx = jnp.zeros(t.shape, jnp.int32)
+    for n in range(N - 1):
+        idx = idx + (tc > cum[n]).astype(jnp.int32)
+
+    outs = [[None, None, None] for _ in range(n_orders)]
+    for n in range(N):
+        sel = idx == n
+        s = jnp.clip(t - starts[n], 0.0, durations[n])
+        for ax in range(3):
+            c = [coeffs[n, k, ax] for k in range(n_coef)]
+            for d in range(n_orders):
+                if d >= n_coef:
+                    continue
+                # derivative-folded coefficients (scalar ops, negligible)
+                if d == 0:
+                    cd = c
+                else:
+                    cd = [
+                        c[k] * (_fact_ratio(k, d)) for k in range(d, n_coef)
+                    ]
+                acc = cd[-1]
+                for k in range(len(cd) - 2, -1, -1):
+                    acc = acc * s + cd[k]
+                prev = outs[d][ax]
+                term = jnp.where(sel, acc, 0.0)
+                outs[d][ax] = term if prev is None else prev + term
+    zero = jnp.zeros(t.shape, dtype)
+    result = []
+    for d in range(n_orders):
+        result.append(tuple(o if o is not None else zero for o in outs[d]))
+    while len(result) < 4:
+        result.append((zero, zero, zero))
+    return tuple(result)
+
+
+def _fact_ratio(k: int, d: int) -> float:
+    r = 1.0
+    for j in range(k, k - d, -1):
+        r *= j
+    return r
+
+
+def pose_components(pos, vel, acc, params):
+    """Component-form pose map: 3-tuples → (pos3 3-tuple, R 9-tuple).
+
+    R is returned row-major (r00..r22).  Twin of flatness.pose_of (quadrotor
+    tilt from the drag-augmented specific force, ref flatness.hpp:53-86) and
+    of the SE(2) PlanarPose map.
+    """
+    px, py, pz = pos
+    if isinstance(params, fl.PlanarPose):
+        c, s = jnp.cos(pz), jnp.sin(pz)
+        zeros = jnp.zeros_like(c)
+        ones = jnp.ones_like(c)
+        zref = jnp.full_like(c, params.z_ref)
+        return (px, py, zref), (c, -s, zeros, s, c, zeros, zeros, zeros, ones)
+
+    p = params
+    vx, vy, vz = vel
+    ax, ay, az = acc
+    cp_term = jnp.sqrt(vx * vx + vy * vy + vz * vz + p.veps)
+    w_term = 1.0 + p.cp * cp_term
+    k = p.dh / p.mass
+    zux = ax + k * w_term * vx
+    zuy = ay + k * w_term * vy
+    zuz = az + k * w_term * vz + p.grav
+    zn = jnp.sqrt(zux * zux + zuy * zuy + zuz * zuz)
+    zx, zy, zz = zux / zn, zuy / zn, zuz / zn
+
+    td = jnp.sqrt(2.0 * (1.0 + zz))
+    qw = 0.5 * td
+    qx = -zy / td
+    qy = zx / td
+    # quat_to_rot with qz = 0 (so3.quat_to_rot's exact expressions)
+    ww, xx, yy = qw * qw, qx * qx, qy * qy
+    xy2, wx2, wy2 = 2 * qx * qy, 2 * qw * qx, 2 * qw * qy
+    R = (
+        ww + xx - yy, xy2, wy2,
+        xy2, ww - xx + yy, -wx2,
+        -wy2, wx2, ww - xx - yy,
+    )
+    return (px, py, pz), R
+
+
+def rel_components(p_world, x3, R):
+    """p_rel = Rᵀ (p − x), all component-form (broadcasting)."""
+    dx = p_world[0] - x3[0]
+    dy = p_world[1] - x3[1]
+    dz = p_world[2] - x3[2]
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+    return (
+        r00 * dx + r10 * dy + r20 * dz,
+        r01 * dx + r11 * dy + r21 * dz,
+        r02 * dx + r12 * dy + r22 * dz,
+    )
+
+
+def sdf_at_time_c(shape, traj, params, p_world, t):
+    """Component-form body SDF at trajectory time(s).
+
+    p_world: 3-tuple of arrays broadcasting against t (e.g. (P,) vs (K, P)).
+    Returns d shaped like the broadcast.  Lane-optimal twin of
+    :func:`sdf_at_time_fast`.
+    """
+    pos, vel, acc, _ = pvaj_components(traj, t, n_orders=3)
+    x3, R = pose_components(pos, vel, acc, params)
+    prel = rel_components(p_world, x3, R)
+    return shape.sdf3_fn()(*prel)

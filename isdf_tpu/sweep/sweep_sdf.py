@@ -89,6 +89,21 @@ def _pallas_auto(shape) -> bool:
     )
 
 
+def _coarse_table_T(shape, p_eva, xs, Rs):
+    """SDF table (T, P) in the lane-optimal transposed layout: components
+    stay separate arrays and the point dim is minor (see fast_eval SoA
+    docstring)."""
+    px = p_eva[:, 0][None, :]                          # (1, P)
+    py = p_eva[:, 1][None, :]
+    pz = p_eva[:, 2][None, :]
+    x3 = tuple(xs[:, i][:, None] for i in range(3))    # (T, 1) each
+    R = tuple(Rs[:, i, j][:, None] for i in range(3) for j in range(3))
+    from isdf_tpu.sweep.fast_eval import rel_components
+
+    prel = rel_components((px, py, pz), x3, R)         # (T, P) each
+    return shape.sdf3_fn()(*prel)                      # (T, P)
+
+
 def _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas):
     """argmin-t seed of the coarse scan → (t0 (P,), dmin (P,))."""
     if use_pallas is None:
@@ -98,9 +113,9 @@ def _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas):
 
         dmin, j = grid_coarse_scan(shape.grid, p_eva, xs, Rs)
         return ts[j], dmin
-    table = _batched_sdf_table(shape, p_eva, xs, Rs)
-    j = jnp.argmin(table, axis=1)
-    return ts[j], jnp.min(table, axis=1)
+    table = _coarse_table_T(shape, p_eva, xs, Rs)      # (T, P)
+    j = jnp.argmin(table, axis=0)
+    return ts[j], jnp.min(table, axis=0)
 
 
 def _plateau_argmin(d, cand, tie_eps: float = 1e-4):
@@ -136,38 +151,103 @@ def _plateau_argmin(d, cand, tie_eps: float = 1e-4):
     return t_center
 
 
+def _plateau_argmin0(d, cand, tie_eps: float = 1e-4):
+    """:func:`_plateau_argmin` along axis 0 — for (k, P) arrays in the
+    transposed lane-optimal layout (the candidate axis lives in sublanes,
+    the point axis in lanes)."""
+    dmin = jnp.min(d, axis=0, keepdims=True)
+    eps = tie_eps * jnp.maximum(1.0, jnp.abs(dmin))
+    tie = d <= dmin + eps
+    j = jnp.argmin(d, axis=0)[None, :]                       # (1, P)
+    idx = jnp.arange(d.shape[0])[:, None]
+    tie_r = jnp.where(idx <= j, True, tie)
+    conn_r = jnp.cumprod(tie_r, axis=0).astype(bool)
+    tie_l = jnp.where(idx >= j, True, tie)
+    conn_l = jnp.flip(
+        jnp.cumprod(jnp.flip(tie_l, axis=0), axis=0), axis=0
+    ).astype(bool)
+    conn = jnp.where(idx >= j, conn_r, conn_l)
+    wsum = jnp.sum(conn, axis=0)
+    return jnp.sum(jnp.where(conn, cand, 0.0), axis=0) / wsum
+
+
 def _zoom(shape, traj, params, p_eva, t0, w0, rounds: int, k: int = 8):
     """Fixed-round interval zoom around per-point seeds t0 (P,).
 
     Each round evaluates k candidates in [t0−w, t0+w] and re-centers on the
     plateau-centered argmin; w shrinks by the candidate spacing factor.
-    Returns (t*, sdf*).  The per-candidate state evaluation is the
-    gather-free fast path (sweep/fast_eval.py) — the (P, k) candidate block
-    becomes one einsum.
+    Returns (t*, sdf*).  Candidate blocks are laid out (k, P) — the point
+    dim minor — and evaluated through the component-form SoA chain
+    (fast_eval.sdf_at_time_c) for full vector-lane utilization.
     """
-    from isdf_tpu.sweep.fast_eval import sdf_at_time_fast
+    from isdf_tpu.sweep.fast_eval import sdf_at_time_c
 
     total = traj.total_duration.astype(t0.dtype)
-    offs = jnp.linspace(-1.0, 1.0, k).astype(t0.dtype)
-    p3 = p_eva[:, None, :]                               # (P, 1, 3)
+    offs = jnp.linspace(-1.0, 1.0, k).astype(t0.dtype)[:, None]   # (k, 1)
+    pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])          # (P,) each
 
     def body(carry, _):
         t, w = carry
-        cand = jnp.clip(t[:, None] + w[:, None] * offs[None, :], 0.0, total)
+        cand = jnp.clip(t[None, :] + w[None, :] * offs, 0.0, total)
         cand = cand.astype(t0.dtype)
-        d = sdf_at_time_fast(shape, traj, params, p3, cand)   # (P, k)
-        t_new = _plateau_argmin(d, cand)
+        d = sdf_at_time_c(shape, traj, params, pw, cand)  # (k, P)
+        t_new = _plateau_argmin0(d, cand)
         w_new = (w * (2.0 / (k - 1))).astype(t0.dtype)
         return (t_new, w_new), None
 
     w_init = jnp.broadcast_to(jnp.asarray(w0, t0.dtype), t0.shape)
     (t_star, _), _ = jax.lax.scan(body, (t0, w_init), None, length=rounds)
-    sdf_star = sdf_at_time_fast(shape, traj, params, p_eva, t_star)
+    # envelope theorem: t* is a constant of the final evaluation, so the
+    # returned sdf* is differentiable in (traj, p) through ONE evaluation —
+    # callers (opt/backend.swept_penalty) use it directly without a second
+    # forward pass (ref back_end_optimizer.hpp:827 treats t* constant).
+    t_star = jax.lax.stop_gradient(t_star)
+    sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
     return t_star, sdf_star
 
 
+def _fused_ok(shape, params, use_pallas) -> bool:
+    """Dispatch to the fully-fused Pallas sweep kernel (pallas_zoom.py):
+    analytic (gather-free) component-form shapes on TPU.  Grid-backed
+    shapes keep the pallas_grid coarse scan + XLA zoom."""
+    if use_pallas is False:
+        return False
+    try:
+        import jax as _jax
+
+        from isdf_tpu.sweep.pallas_zoom import zoom_available
+
+        return isinstance(params, (fl.FlatParams, fl.PlanarPose)) and \
+            zoom_available(shape, params)
+    except Exception:
+        return False
+
+
+def _sweep_fused(shape, traj, params, p_eva, t_warm, coarse_n, refine_rounds,
+                 warm_window):
+    """Fused-kernel warm sweep: one Pallas launch + one differentiable
+    re-evaluation at t* (envelope theorem)."""
+    from isdf_tpu.sweep.fast_eval import sdf_at_time_c
+    from isdf_tpu.sweep.pallas_zoom import sweep_warm_fused
+
+    total = traj.total_duration
+    ts = jnp.linspace(0.0, total, coarse_n)
+    xs, Rs = traj_states(traj, params, ts)
+    pose = jnp.concatenate([xs, Rs.reshape(-1, 9)], axis=1)
+    durs = traj.durations
+    starts = jnp.cumsum(durs) - durs
+    t_star, _, grad_prel = sweep_warm_fused(
+        shape, params, p_eva, t_warm, pose, starts, durs, traj.coeffs,
+        coarse_n=coarse_n, rounds=refine_rounds, warm_window=warm_window,
+    )
+    pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+    sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
+    return sdf_star, t_star, grad_prel
+
+
 @partial(jax.jit,
-         static_argnames=("shape", "coarse_n", "refine_rounds", "use_pallas"))
+         static_argnames=("shape", "params", "coarse_n", "refine_rounds",
+                          "use_pallas"))
 def sweep_sdf(
     shape,
     traj,
@@ -180,9 +260,17 @@ def sweep_sdf(
     """Swept-volume SDF for a batch of points (cold start).
 
     Returns (sdf_star (P,), t_star (P,), grad_prel (P,3)); t_star is
-    stop-gradiented.  use_pallas: None = auto (Pallas coarse scan for grid
-    shapes on TPU, XLA otherwise).
+    stop-gradiented.  use_pallas: None = auto (fused Pallas sweep for
+    analytic shapes on TPU, Pallas coarse scan for grid shapes on TPU,
+    XLA otherwise).
     """
+    if _fused_ok(shape, params, use_pallas) and coarse_n % 8 == 0:
+        # cold start = warm sweep seeded at t=0; the coarse branch provides
+        # the global argmin, the warm branch costs one redundant zoom.
+        return _sweep_fused(
+            shape, traj, params, p_eva, jnp.zeros(p_eva.shape[:1],
+                                                  p_eva.dtype),
+            coarse_n, refine_rounds, 0.3)
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
@@ -195,7 +283,8 @@ def sweep_sdf(
 
 
 @partial(jax.jit,
-         static_argnames=("shape", "coarse_n", "refine_rounds", "use_pallas"))
+         static_argnames=("shape", "params", "coarse_n", "refine_rounds",
+                          "warm_window", "use_pallas"))
 def sweep_sdf_warm(
     shape,
     traj,
@@ -211,11 +300,16 @@ def sweep_sdf_warm(
     deeper minimum wins (guards against topology changes between outer
     iterations — the reference's candidate-interval logic).
 
-    The two refinements run as two SEQUENTIAL P-point zooms, not one stacked
-    2P call: measured on TPU v5e (BASELINE.md "sweep zoom stacking"), the
-    zoom is bound by per-round HBM traffic, so doubling the round's working
-    set costs ~2× while halving the step count saves almost nothing
-    (stacked: 1.40M queries/s, sequential: 2.46M — the r02 regression)."""
+    TPU analytic shapes dispatch to the fully-fused Pallas kernel (coarse
+    scan + both zooms + pick + gradient in ONE launch, pallas_zoom.py —
+    measured 9.4× the r02 XLA path).  The XLA fallback runs the two
+    refinements as two SEQUENTIAL P-point zooms, not one stacked 2P call:
+    measured on TPU v5e (BASELINE.md "sweep kernel measurements"), the
+    zoom's per-round cost scales with the working set, so stacking halves
+    throughput (the r02 regression)."""
+    if _fused_ok(shape, params, use_pallas) and coarse_n % 8 == 0:
+        return _sweep_fused(shape, traj, params, p_eva, t_warm,
+                            coarse_n, refine_rounds, warm_window)
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
@@ -235,12 +329,14 @@ def sweep_sdf_warm(
 def _grad_prel(shape, traj, params, p_eva, t_star):
     """∂SDF/∂p_rel at the argmin pose (ref getGradPrelAtTimeStamp,
     sw_manager.hpp:566-572)."""
-    from isdf_tpu.sweep.fast_eval import pvaj_all
+    from isdf_tpu.sweep.fast_eval import (
+        pvaj_components, pose_components, rel_components)
 
-    pos, vel, acc, jer = pvaj_all(traj, t_star)
-    pos3, R = fl.pose_of(pos, vel, acc, jer, params)
-    p_rel = jnp.einsum("pji,pj->pi", R, p_eva - pos3)
-    return shape.grad(p_rel)
+    pos, vel, acc, _ = pvaj_components(traj, t_star, n_orders=3)
+    x3, R = pose_components(pos, vel, acc, params)
+    pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+    gx, gy, gz = shape.grad3(*rel_components(pw, x3, R))
+    return jnp.stack([gx, gy, gz], axis=-1)
 
 
 def sweep_sdf_dot(shape, traj, params: fl.FlatParams, p_eva, t):

@@ -245,6 +245,329 @@ void dumpLbfgs() {
   endObj();
 }
 
+
+// ---------------------------------------------------------------------------
+// Mid-end full solve golden (VERDICT r3 item 4a): the reference's OriTraj
+// cost (minco energy + rho*sum(T) + weightPR*sum(||pos_i - ref_i||^3), with
+// its addPosePenalty gradT quirk reproduced verbatim, mid_end.hpp:256)
+// optimized by the reference's own lbfgs on demo-1-like waypoints.
+// forwardT/forwardP/backwardGradT are the header's diffeomorphisms
+// (mid_end.hpp:91-160) restated here because OriTraj itself drags in ROS.
+// ---------------------------------------------------------------------------
+
+struct MidEndProblem {
+  int N = 0, integralRes = 64;
+  double rho = 200.0, weightPR = 1000.0;
+  Eigen::Matrix3d head, tail;
+  Eigen::Matrix3Xd ref_points;   // (3, N-1)
+  minco::MINCO_S3NU mc;
+
+  static void forwardT(const Eigen::VectorXd &tau, Eigen::VectorXd &T) {
+    T.resize(tau.size());
+    for (int i = 0; i < tau.size(); i++)
+      T(i) = tau(i) > 0.0 ? ((0.5 * tau(i) + 1.0) * tau(i) + 1.0)
+                          : 1.0 / ((0.5 * tau(i) - 1.0) * tau(i) + 1.0);
+  }
+  static void backwardT(const Eigen::VectorXd &T, Eigen::VectorXd &tau) {
+    tau.resize(T.size());
+    for (int i = 0; i < T.size(); i++)
+      tau(i) = T(i) > 1.0 ? (std::sqrt(2.0 * T(i) - 1.0) - 1.0)
+                          : (1.0 - std::sqrt(2.0 / T(i) - 1.0));
+  }
+  static void backwardGradT(const Eigen::VectorXd &tau,
+                            const Eigen::VectorXd &gradT,
+                            Eigen::VectorXd &gradTau) {
+    gradTau.resize(tau.size());
+    for (int i = 0; i < tau.size(); i++) {
+      if (tau(i) > 0.0) {
+        gradTau(i) = gradT(i) * (tau(i) + 1.0);
+      } else {
+        double den = (0.5 * tau(i) - 1.0) * tau(i) + 1.0;
+        gradTau(i) = gradT(i) * (1.0 - tau(i)) / (den * den);
+      }
+    }
+  }
+
+  static double cost(void *ptr, const Eigen::VectorXd &x,
+                     Eigen::VectorXd &g, double &p_cost) {
+    (void)p_cost;
+    MidEndProblem &obj = *(MidEndProblem *)ptr;
+    const int N = obj.N;
+    Eigen::Map<const Eigen::VectorXd> tau(x.data(), N);
+    Eigen::Map<const Eigen::VectorXd> xi(x.data() + N, 3 * (N - 1));
+    Eigen::VectorXd T;
+    forwardT(tau, T);
+    Eigen::Matrix3Xd P(3, N - 1);
+    for (int i = 0; i < N - 1; i++) P.col(i) = xi.segment(3 * i, 3);
+
+    obj.mc.setParameters(P, T);
+    double cost = 0.0;
+    obj.mc.getEnergy(cost);
+    Eigen::MatrixX3d gdC(6 * N, 3);
+    Eigen::VectorXd gdT(N);
+    obj.mc.getEnergyPartialGradByCoeffs(gdC);
+    obj.mc.getEnergyPartialGradByTimes(gdT);
+
+    // addPosePenalty (mid_end.hpp:201-260), gradT quirk included
+    const Eigen::MatrixX3d &coeffs = obj.mc.getCoeffs();
+    const double alpha = 1.0 / obj.integralRes;
+    for (int i = 0; i < N - 1; ++i) {
+      int segment = i + 1;
+      const auto &c = coeffs.block<6, 3>(segment * 6, 0);
+      double s1 = alpha * T(segment);
+      double s2 = s1 * s1, s3 = s2 * s1, s4 = s2 * s2, s5 = s4 * s1;
+      Eigen::Matrix<double, 6, 1> beta0, beta1;
+      beta0 << 1.0, s1, s2, s3, s4, s5;
+      beta1 << 0.0, 1.0, 2.0 * s1, 3.0 * s2, 4.0 * s3, 5.0 * s4;
+      Eigen::Vector3d pos = c.transpose() * beta0;
+      Eigen::Vector3d vel = c.transpose() * beta1;
+      Eigen::Vector3d diff = pos - obj.ref_points.col(i);
+      double nrm = diff.norm();
+      double cost_p = nrm * nrm * nrm;
+      Eigen::Vector3d gradp = 3.0 * nrm * nrm * diff.normalized();
+      if (cost_p + 0.0 > 0.0) {
+        gdC.block<6, 3>(segment * 6, 0) +=
+            obj.weightPR * (beta0 * gradp.transpose());
+        gdT(segment) += obj.weightPR * (cost_p * (alpha * gradp.dot(vel)));
+        cost += obj.weightPR * cost_p;
+      }
+    }
+
+    Eigen::Matrix3Xd gradP(3, N - 1);
+    Eigen::VectorXd gradT(N);
+    obj.mc.propogateGrad(gdC, gdT, gradP, gradT);
+    cost += obj.rho * T.sum();
+    gradT.array() += obj.rho;
+    Eigen::VectorXd gradTau;
+    backwardGradT(tau, gradT, gradTau);
+    g.resize(x.size());
+    g.head(N) = gradTau;
+    for (int i = 0; i < N - 1; i++)
+      g.segment(N + 3 * i, 3) = gradP.col(i);
+    return cost;
+  }
+};
+
+void dumpMidEnd() {
+  const int N = 5;
+  MidEndProblem p;
+  p.N = N;
+  p.head = Eigen::Matrix3d::Zero();
+  p.tail = Eigen::Matrix3d::Zero();
+  p.tail(0, 0) = 8.0; p.tail(1, 0) = 3.0; p.tail(2, 0) = 2.0;
+  p.ref_points.resize(3, N - 1);
+  for (int i = 0; i < N - 1; ++i) {
+    double f = double(i + 1) / N;
+    p.ref_points(0, i) = 8.0 * f + 0.3 * det(3 * i);
+    p.ref_points(1, i) = 3.0 * f + 0.3 * det(3 * i + 1);
+    p.ref_points(2, i) = 2.0 * f + 0.3 * det(3 * i + 2);
+  }
+  p.mc.setConditions(p.head, p.tail, N);
+
+  Eigen::VectorXd T0 = Eigen::VectorXd::Constant(N, 2.0);
+  Eigen::VectorXd tau0;
+  MidEndProblem::backwardT(T0, tau0);
+  Eigen::VectorXd x(N + 3 * (N - 1));
+  x.head(N) = tau0;
+  for (int i = 0; i < N - 1; i++)
+    x.segment(N + 3 * i, 3) = p.ref_points.col(i);
+  Eigen::VectorXd x0 = x;
+
+  double fx = 0.0;
+  lbfgs::lbfgs_parameter_t par;
+  par.mem_size = 16;
+  par.past = 10;
+  par.g_epsilon = 0.0;
+  par.min_step = 1.0e-32;
+  par.delta = 1.0e-6;
+  par.max_iterations = 100000;
+  int ret = lbfgs::lbfgs_optimize(x, fx, &MidEndProblem::cost, nullptr,
+                                  nullptr, &p, par);
+
+  Eigen::Map<const Eigen::VectorXd> tau(x.data(), N);
+  Eigen::VectorXd T;
+  MidEndProblem::forwardT(tau, T);
+  Eigen::Matrix3Xd P(3, N - 1);
+  for (int i = 0; i < N - 1; i++) P.col(i) = x.segment(N + 3 * i, 3);
+  p.mc.setParameters(P, T);
+  Trajectory<5> traj;
+  p.mc.getTrajectory(traj);
+
+  const int NT = 17;
+  double ts[NT];
+  std::vector<double> pos;
+  double total = traj.getTotalDuration();
+  for (int i = 0; i < NT; ++i) {
+    ts[i] = total * i / (NT - 1);
+    Eigen::Vector3d pp = traj.getPos(std::min(ts[i], total));
+    for (int d = 0; d < 3; ++d) pos.push_back(pp(d));
+  }
+
+  beginObj("mid_end");
+  writeScalar("N", N);
+  writeScalar("integralRes", p.integralRes);
+  writeScalar("rho", p.rho);
+  writeScalar("weightPR", p.weightPR);
+  writeMat("head", p.head);
+  writeMat("tail", p.tail);
+  writeMat("ref_points", Eigen::MatrixXd(p.ref_points));
+  writeMat("T0", T0);
+  writeMat("x0", x0);
+  writeScalar("ret", ret);
+  writeScalar("f_star", fx);
+  writeMat("T_star", T);
+  writeMat("points_star", Eigen::MatrixXd(P));
+  writeMat("coeffs_star", p.mc.getCoeffs());
+  writeArray("eval_ts", ts, NT);
+  writeArray("eval_pos", pos.data(), (int)pos.size());
+  writeScalar("total_duration", total);
+  endObj();
+}
+
+// ---------------------------------------------------------------------------
+// Back-end integral penalty cost+grad golden (VERDICT r3 item 4b): the
+// reference's addTimeIntPenaltyParallel (back_end_optimizer.hpp:432-554)
+// restated single-threaded on a FIXED trajectory — header math only
+// (flatness optimizated_forward + backwardthreadsafe + smoothedL1).
+// ---------------------------------------------------------------------------
+
+static bool refSmoothedL1(const double &x, const double &mu, double &f,
+                          double &df) {
+  if (x < 0.0) { return false; }
+  else if (x > mu) { f = x - 0.5 * mu; df = 1.0; return true; }
+  else {
+    const double xdmu = x / mu;
+    const double sqrxdmu = xdmu * xdmu;
+    const double mumxd2 = mu - 0.5 * x;
+    f = mumxd2 * sqrxdmu * xdmu;
+    df = sqrxdmu * ((-0.5) * xdmu + 3.0 * mumxd2 / mu);
+    return true;
+  }
+}
+
+void dumpBackendIntegral() {
+  // fixed trajectory: same construction as dumpMincoS3
+  const int N = 5;
+  Eigen::Matrix3d head = Eigen::Matrix3d::Zero();
+  Eigen::Matrix3d tail = Eigen::Matrix3d::Zero();
+  head(0, 0) = 0.5; head(1, 0) = -0.25; head(2, 0) = 1.0;
+  head(0, 1) = 0.3; head(1, 1) = 0.1;
+  tail(0, 0) = 8.0; tail(1, 0) = 3.0; tail(2, 0) = 2.0;
+  tail(2, 1) = -0.2;
+  Eigen::Matrix3Xd q(3, N - 1);
+  for (int i = 0; i < N - 1; ++i)
+    for (int d = 0; d < 3; ++d)
+      q(d, i) = 2.0 * (i + 1) * (d == 0) + det(3 * i + d);
+  Eigen::VectorXd T(N);
+  for (int i = 0; i < N; ++i) T(i) = 1.2 + 0.2 * (i % 3);
+  minco::MINCO_S3NU mc;
+  mc.setConditions(head, tail, N);
+  mc.setParameters(q, T);
+  const Eigen::MatrixX3d &coeffs = mc.getCoeffs();
+
+  flatness::FlatnessMap fm;
+  fm.reset(0.61, 9.8, 0.10, 0.10, 0.01, 1.0e-4);
+
+  const double vmax = 2.0, omgmax = 2.5, thetamax = 0.9;
+  const double weightVel = 100.0, weightOmg = 50.0, weightTheta = 75.0;
+  const double smoothFactor = 1.0e-2;
+  const int integralResolution = 16;
+  const double integralFrac = 1.0 / integralResolution;
+  const double velSqrMax = vmax * vmax, omgSqrMax = omgmax * omgmax;
+
+  double cost = 0.0;
+  Eigen::MatrixX3d gradC = Eigen::MatrixX3d::Zero(6 * N, 3);
+  Eigen::VectorXd gradT = Eigen::VectorXd::Zero(N);
+
+  for (int i = 0; i < N; ++i) {
+    double step = T(i) * integralFrac;
+    const Eigen::Matrix<double, 6, 3> &c = coeffs.block<6, 3>(i * 6, 0);
+    for (int j = 0; j <= integralResolution; ++j) {
+      double s1 = j * step;
+      double s2 = s1 * s1, s3 = s2 * s1, s4 = s2 * s2, s5 = s4 * s1;
+      Eigen::Matrix<double, 6, 1> beta0, beta1, beta2, beta3, beta4;
+      beta0 << 1.0, s1, s2, s3, s4, s5;
+      beta1 << 0.0, 1.0, 2.0 * s1, 3.0 * s2, 4.0 * s3, 5.0 * s4;
+      beta2 << 0.0, 0.0, 2.0, 6.0 * s1, 12.0 * s2, 20.0 * s3;
+      beta3 << 0.0, 0.0, 0.0, 6.0, 24.0 * s1, 60.0 * s2;
+      beta4 << 0.0, 0.0, 0.0, 0.0, 24.0, 120.0 * s1;
+      Eigen::Vector3d pos = c.transpose() * beta0;
+      Eigen::Vector3d vel = c.transpose() * beta1;
+      Eigen::Vector3d acc = c.transpose() * beta2;
+      Eigen::Vector3d jer = c.transpose() * beta3;
+      Eigen::Vector3d sna = c.transpose() * beta4;
+
+      Eigen::Vector4d quat;
+      Eigen::Vector3d omg;
+      fm.optimizated_forward(vel, acc, jer, quat, omg);
+
+      Eigen::Vector3d gradVel = Eigen::Vector3d::Zero();
+      Eigen::Vector3d gradPos = Eigen::Vector3d::Zero();
+      Eigen::Vector3d gradOmg = Eigen::Vector3d::Zero();
+      Eigen::Vector4d gradQuat = Eigen::Vector4d::Zero();
+      Eigen::Vector3d gradPosTotal = Eigen::Vector3d::Zero();
+      Eigen::Vector3d gradVelTotal = Eigen::Vector3d::Zero();
+      Eigen::Vector3d gradAccTotal = Eigen::Vector3d::Zero();
+      Eigen::Vector3d gradJerTotal = Eigen::Vector3d::Zero();
+
+      double pena = 0.0;
+      double cos_theta =
+          1.0 - 2.0 * (quat(1) * quat(1) + quat(2) * quat(2));
+      double violaVel = vel.squaredNorm() - velSqrMax;
+      double violaOmg = omg.squaredNorm() - omgSqrMax;
+      double violaTheta = std::acos(cos_theta) - thetamax;
+      double node = (j == 0 || j == integralResolution) ? 0.5 : 1.0;
+      double alpha = j * integralFrac;
+
+      double f = 0.0, df = 0.0;
+      if (refSmoothedL1(violaVel, smoothFactor, f, df)) {
+        gradVel += weightVel * df * 2.0 * vel;
+        pena += weightVel * f;
+      }
+      if (refSmoothedL1(violaOmg, smoothFactor, f, df)) {
+        gradOmg += weightOmg * df * 2.0 * omg;
+        pena += weightOmg * f;
+      }
+      if (refSmoothedL1(violaTheta, smoothFactor, f, df)) {
+        gradQuat += weightTheta * df /
+                    std::sqrt(1.0 - cos_theta * cos_theta) * 4.0 *
+                    Eigen::Vector4d(0.0, quat(1), quat(2), 0.0);
+        pena += weightTheta * f;
+      }
+      fm.backwardthreadsafe(vel, acc, jer, gradPos, gradVel, gradQuat,
+                            gradOmg, gradPosTotal, gradVelTotal,
+                            gradAccTotal, gradJerTotal);
+      gradC.block<6, 3>(i * 6, 0) +=
+          (beta0 * gradPosTotal.transpose() +
+           beta1 * gradVelTotal.transpose() +
+           beta2 * gradAccTotal.transpose() +
+           beta3 * gradJerTotal.transpose()) * node * step;
+      gradT(i) += (gradPosTotal.dot(vel) + gradVelTotal.dot(acc) +
+                   gradAccTotal.dot(jer) + gradJerTotal.dot(sna)) *
+                      alpha * node * step +
+                  node * integralFrac * pena;
+      cost += node * step * pena;
+    }
+  }
+
+  beginObj("backend_integral");
+  writeScalar("N", N);
+  writeScalar("integralRes", integralResolution);
+  writeScalar("vmax", vmax);
+  writeScalar("omgmax", omgmax);
+  writeScalar("thetamax", thetamax);
+  writeScalar("weight_v", weightVel);
+  writeScalar("weight_omg", weightOmg);
+  writeScalar("weight_theta", weightTheta);
+  writeScalar("smooth_fac", smoothFactor);
+  writeMat("T", T);
+  writeMat("coeffs", coeffs);
+  writeScalar("cost", cost);
+  writeMat("grad_coeffs", gradC);
+  writeMat("grad_times", gradT);
+  endObj();
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -256,6 +579,8 @@ int main(int argc, char **argv) {
   dumpMincoS3();
   dumpFlatness();
   dumpLbfgs();
+  dumpMidEnd();
+  dumpBackendIntegral();
   std::fprintf(out, "}\n");
   std::fclose(out);
   std::fprintf(stderr, "golden written to %s\n", path);

@@ -8,6 +8,8 @@ import pytest
 
 from isdf_tpu.demos import DEMOS, REFERENCE_ROOT, load_demo_points, run_demo
 
+pytestmark = pytest.mark.demo
+
 HAVE_REF = os.path.isdir(os.path.join(REFERENCE_ROOT, "src", "plan_manager"))
 
 

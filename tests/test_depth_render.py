@@ -6,6 +6,9 @@ import numpy as np
 from isdf_tpu.config import Config
 from isdf_tpu.sim import CameraIntrinsics, render_depth, render_pointcloud
 from isdf_tpu.world import GridMap
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _wall_map():

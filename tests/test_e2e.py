@@ -10,6 +10,8 @@ from isdf_tpu.plan import PlannerManager, TrajServer
 from isdf_tpu.plan.traj_server import sample_horizon
 from isdf_tpu.world import maps_gen
 
+pytestmark = pytest.mark.demo
+
 
 @pytest.fixture(scope="module")
 def planned():

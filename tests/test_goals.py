@@ -7,6 +7,9 @@ from isdf_tpu.plan.goals import (
     GoalPool, ManualTakeOver, assign_goal, sample_free_goals,
 )
 from isdf_tpu.world import GridMap, maps_gen
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 class TestGoalPool:

@@ -12,6 +12,8 @@ from isdf_tpu.shapes import mesh as meshlib
 from isdf_tpu.shapes.gridsdf import mesh_shape, grid_shape
 from isdf_tpu.shapes import make_shape
 
+pytestmark = pytest.mark.smoke
+
 REF_SHAPES = "/root/reference/src/plan_manager/shapes"
 
 

@@ -8,6 +8,9 @@ from isdf_tpu.config import Config
 from isdf_tpu.plan import PlannerManager, fly_closed_loop
 from isdf_tpu.world import MovingObstacle, predict_traj, compose_map
 from isdf_tpu.world.maps_gen import gene_wall
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class TestMovingObstacle:

@@ -18,6 +18,8 @@ from isdf_tpu.shapes import make_shape
 from isdf_tpu.viz import swept_volume_mesh, export_obj
 from isdf_tpu.world import GridMap, maps_gen
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def lib():
@@ -101,3 +103,46 @@ class TestSweptMesh:
 
             V, F = load_obj(p)
             assert len(F) == len(tris)
+
+
+class TestHtmlViewer:
+    def test_scene_roundtrip(self, tmp_path):
+        """Self-contained HTML viewer (RViz-role, VERDICT r2 #19/#33):
+        layers embed, file is standalone (no external scripts)."""
+        from isdf_tpu.viz.html_view import HtmlScene
+
+        sc = HtmlScene("test scene")
+        rng = np.random.default_rng(0)
+        sc.add_points("voxels", rng.uniform(0, 5, (200, 3)))
+        sc.add_line("traj", np.linspace(0, 5, 30)[:, None] * np.ones(3))
+        V = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+        F = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+        sc.add_mesh("body", V, F)
+        sc.add_poses("poses", np.zeros((2, 3)),
+                     np.stack([np.eye(3)] * 2))
+        out = sc.write(str(tmp_path / "scene.html"))
+        html = open(out).read()
+        assert "voxels" in html and "traj" in html and "body" in html
+        assert "<script src" not in html  # fully self-contained
+        assert "DATA" in html and "proj" in html
+        import json as _json
+        import re
+
+        m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+        data = _json.loads(m.group(1))
+        assert len(data["layers"]) == 4
+        assert data["radius"] > 0
+
+    def test_export_plan_view_traj_only(self, tmp_path):
+        from isdf_tpu.core import minco
+        from isdf_tpu.viz.html_view import export_plan_view
+        from isdf_tpu.core.flatness import FlatParams
+
+        q = jnp.array([[2.0, 0.5, 1.0], [4.0, 1.0, 1.0]])
+        T = jnp.array([1.5, 1.5, 1.5])
+        traj = minco.trajectory(q, T, jnp.zeros((3, 3)),
+                                jnp.zeros((3, 3)).at[:, 0].set(
+                                    jnp.array([6.0, 1.5, 1.0])))
+        out = export_plan_view(str(tmp_path / "v.html"), traj=traj,
+                               params=FlatParams())
+        assert "trajectory" in open(out).read()

@@ -155,3 +155,42 @@ class TestBackendCost:
         # end conditions hold
         jp = np.asarray(traj.junction_positions())
         np.testing.assert_allclose(jp[-1], [6.0, 0.0, 1.0], atol=1e-6)
+
+
+class TestBaselineSkip:
+    def test_fewer_evals_equal_endpoint(self):
+        """Default (baseline-skip + Armijo slack) must cut cost evals ≥25%
+        vs consistent_baseline=True at an equivalent endpoint on a real
+        back-end solve (VERDICT r2 item 3)."""
+        conf = Config(
+            integralIntervs=8, sweep_coarse_samples=16,
+            sweep_refine_rounds=6, vmax=5.0, omgmax=5.0, thetamax=1.5,
+            safety_hor=0.4, mem_size=8,
+        )
+        shape = make_shape("Ball", conf)
+        params = fl.FlatParams.from_config(conf)
+        w = backend.BackendWeights.from_config(conf)
+        rng = np.random.default_rng(0)
+        N, P = 4, 128
+        head = jnp.zeros((3, 3))
+        tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.array([8.0, 2.0, 1.0]))
+        q0 = jnp.asarray(
+            np.linspace(1, 7, N - 1)[:, None] * np.array([1.0, 0.25, 0.12]))
+        T0 = jnp.full((N,), 2.0)
+        x0 = backend.pack(timemap.T_to_tau(T0), q0)
+        pts = jnp.asarray(rng.uniform(0, 8, size=(P, 3)))
+        mask = jnp.ones((P,), bool)
+        tw = jnp.zeros((P,))
+        cg = backend.make_cost_fn(
+            shape, params, w, head, tail, N, pts, mask,
+            integral_res=8, coarse_n=16, refine_rounds=6)
+
+        res_skip = lbfgs.minimize(cg, x0, tw, max_iters=30)
+        res_cons = lbfgs.minimize(cg, x0, tw, max_iters=30,
+                                  consistent_baseline=True)
+        f_skip, f_cons = float(res_skip.f), float(res_cons.f)
+        # equivalent endpoint: within 1% relative cost of the consistent run
+        assert f_skip <= f_cons * 1.01 + 1e-9, (f_skip, f_cons)
+        ev_skip, ev_cons = int(res_skip.n_evals), int(res_cons.n_evals)
+        # ≥25% fewer cost evals per solve (VERDICT criterion)
+        assert ev_skip <= 0.75 * ev_cons, (ev_skip, ev_cons)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from isdf_tpu.core import minco
 from isdf_tpu.core.flatness import FlatParams
@@ -10,6 +11,8 @@ from isdf_tpu.core.poly import PolyTraj
 from isdf_tpu.shapes import make_shape
 from isdf_tpu.sweep.pallas_scan import coarse_scan
 from isdf_tpu.sweep.sweep_sdf import traj_states
+
+pytestmark = pytest.mark.slow
 
 
 def test_pallas_matches_xla():
@@ -129,3 +132,103 @@ class TestGridKernel:
         d_at_tp = np.asarray(sdf_at_time(shape, traj, params,
                                          pts, t_p))
         np.testing.assert_allclose(d_at_tp, np.asarray(d_x), atol=5e-4)
+
+
+class TestFusedSweepKernel:
+    """pallas_zoom.sweep_warm_fused (interpret mode) vs the XLA sweep path.
+
+    The fused kernel is the TPU production path for analytic shapes
+    (sweep_sdf._fused_ok); these tests pin its numerics on CPU."""
+
+    def _setup(self, N=4, seed=0):
+        from isdf_tpu.core import minco
+
+        rng = np.random.default_rng(seed)
+        dtype = jnp.float32
+        q = jnp.asarray(
+            np.linspace(1, 7, N - 1)[:, None] * np.array([1.0, 0.3, 0.15])
+            + rng.normal(scale=0.3, size=(N - 1, 3)), dtype)
+        T = jnp.asarray(rng.uniform(1.2, 2.2, size=N), dtype)
+        head = jnp.zeros((3, 3), dtype)
+        tail = jnp.zeros((3, 3), dtype).at[:, 0].set(
+            jnp.asarray([8.0, 2.0, 1.0], dtype))
+        traj = PolyTraj(T, minco.solve(q, T, head, tail))
+        return traj, rng
+
+    @pytest.mark.parametrize("shapename", ["CappedCone", "Ball", "CSG"])
+    def test_parity_vs_xla_sweep(self, shapename):
+        from isdf_tpu.config import Config
+        from isdf_tpu.core import flatness as fl
+        from isdf_tpu.shapes import make_shape
+        from isdf_tpu.sweep.sweep_sdf import sweep_sdf_warm, traj_states
+        from isdf_tpu.sweep.pallas_zoom import sweep_warm_fused
+
+        conf = Config(vmax=5.0, omgmax=5.0, thetamax=1.5, safety_hor=0.4)
+        shape = make_shape(shapename, conf)
+        params = fl.FlatParams.from_config(conf)
+        traj, rng = self._setup()
+        P = 128
+        pts = jnp.asarray(rng.uniform(-1, 9, size=(P, 3)), jnp.float32)
+        tw = jnp.asarray(
+            rng.uniform(0, float(traj.total_duration), size=(P,)),
+            jnp.float32)
+        s_ref, t_ref, g_ref = sweep_sdf_warm(
+            shape, traj, params, pts, tw, coarse_n=32, refine_rounds=8)
+        ts = jnp.linspace(0.0, traj.total_duration, 32)
+        xs, Rs = traj_states(traj, params, ts)
+        pose = jnp.concatenate([xs, Rs.reshape(-1, 9)], axis=1)
+        durs = traj.durations
+        starts = jnp.cumsum(durs) - durs
+        t_pl, d_pl, g_pl = sweep_warm_fused(
+            shape, params, pts, tw, pose, starts, durs, traj.coeffs,
+            coarse_n=32, rounds=8, interpret=True)
+        # t* may differ at exact plateau ties; SDF values must agree tightly
+        np.testing.assert_allclose(
+            np.asarray(d_pl), np.asarray(s_ref), atol=2e-4, rtol=1e-4)
+        # gradients at the argmin pose
+        ok = np.abs(np.asarray(t_pl) - np.asarray(t_ref)) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(g_pl)[ok], np.asarray(g_ref)[ok], atol=1e-3)
+
+    def test_vmap_matches_per_scenario(self):
+        from isdf_tpu.config import Config
+        from isdf_tpu.core import flatness as fl, minco
+        from isdf_tpu.shapes import make_shape
+        from isdf_tpu.sweep.sweep_sdf import traj_states
+        from isdf_tpu.sweep.pallas_zoom import sweep_warm_fused
+
+        conf = Config(vmax=5.0, omgmax=5.0, thetamax=1.5, safety_hor=0.4)
+        shape = make_shape("CappedCone", conf)
+        params = fl.FlatParams.from_config(conf)
+        rng = np.random.default_rng(3)
+        B, N, P = 3, 3, 128
+        coeffs, Ts = [], []
+        for _ in range(B):
+            q = jnp.asarray(rng.normal(size=(N - 1, 3)) + 2.0, jnp.float32)
+            T = jnp.asarray(rng.uniform(1.2, 2.0, size=N), jnp.float32)
+            coeffs.append(minco.solve(q, T, jnp.zeros((3, 3), jnp.float32),
+                                      jnp.zeros((3, 3), jnp.float32)))
+            Ts.append(T)
+        coeffs = jnp.stack(coeffs)
+        T = jnp.stack(Ts)
+        pts = jnp.asarray(rng.uniform(-1, 5, size=(B, P, 3)), jnp.float32)
+        tw = jnp.zeros((B, P), jnp.float32)
+
+        def one(Tb, cb, pb, twb):
+            traj = PolyTraj(Tb, cb)
+            ts = jnp.linspace(0.0, traj.total_duration, 16)
+            xs, Rs = traj_states(traj, params, ts)
+            pose = jnp.concatenate([xs, Rs.reshape(-1, 9)], axis=1)
+            durs = traj.durations
+            starts = jnp.cumsum(durs) - durs
+            return sweep_warm_fused(
+                shape, params, pb, twb, pose, starts, durs, traj.coeffs,
+                coarse_n=16, rounds=6, interpret=True)
+
+        tb, db, gb = jax.vmap(one)(T, coeffs, pts, tw)
+        for b in range(B):
+            t1, d1, g1 = one(T[b], coeffs[b], pts[b], tw[b])
+            np.testing.assert_allclose(np.asarray(tb[b]), np.asarray(t1),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(db[b]), np.asarray(d1),
+                                       atol=1e-6)

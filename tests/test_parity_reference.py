@@ -197,3 +197,97 @@ class TestLbfgsParity:
         np.testing.assert_allclose(np.asarray(res.x),
                                    np.asarray(g["x_star"]),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestBackendIntegralParity:
+    """Cost-level golden of the reference back-end integral penalty
+    (addTimeIntPenaltyParallel, back_end_optimizer.hpp:432-554) on a fixed
+    trajectory: value AND gradients w.r.t. (coeffs, T) — autodiff vs the
+    reference's hand chain rules."""
+
+    def test_value_and_grads(self, golden):
+        from isdf_tpu.opt import backend
+        from isdf_tpu.core import flatness as fl
+
+        g = golden["backend_integral"]
+        N = int(g["N"])
+        T = jnp.asarray(g["T"])
+        coeffs = jnp.asarray(np.reshape(g["coeffs"], (N, 6, 3)))
+        params = fl.FlatParams()  # dump uses the same reset() constants
+        w = backend.BackendWeights(
+            rho=0.0, weight_p=0.0,
+            weight_v=g["weight_v"], weight_omg=g["weight_omg"],
+            weight_theta=g["weight_theta"], vmax=g["vmax"],
+            omgmax=g["omgmax"], thetamax=g["thetamax"],
+            smooth_fac=g["smooth_fac"], safety_hor=0.0,
+        )
+        res = int(g["integralRes"])
+
+        def pen(coeffs, T):
+            from isdf_tpu.core.poly import PolyTraj
+
+            return backend.integral_penalty(
+                PolyTraj(T, coeffs), params, w, res)
+
+        val = float(pen(coeffs, T))
+        np.testing.assert_allclose(val, g["cost"], rtol=1e-8)
+        gc, gt = jax.grad(pen, argnums=(0, 1))(coeffs, T)
+        np.testing.assert_allclose(
+            np.asarray(gc), np.reshape(g["grad_coeffs"], (N, 6, 3)),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g["grad_times"]),
+            rtol=1e-6, atol=1e-8)
+
+
+class TestMidEndParity:
+    """Trajectory-level golden: the reference's full OriTraj mid-end solve
+    (minco + cubic waypoint attraction + its own LBFGS; gradT quirk
+    mid_end.hpp:256 reproduced in the dump) vs repo midend on the same
+    problem.  The two optimizers differ in line-search internals and we
+    differentiate the *stated* cost (no quirk), so parity is asserted at
+    the solution level: sampled positions within 5 cm and each solution
+    near-optimal under the repo cost."""
+
+    def test_solution_parity(self, golden):
+        from isdf_tpu.opt import midend, backend
+        from isdf_tpu.core import timemap
+
+        g = golden["mid_end"]
+        N = int(g["N"])
+        head = jnp.asarray(np.reshape(g["head"], (3, 3)))
+        tail = jnp.asarray(np.reshape(g["tail"], (3, 3)))
+        refp = jnp.asarray(np.reshape(g["ref_points"], (3, N - 1)).T)
+        T0 = jnp.asarray(g["T0"])
+
+        cost_and_grad, raw = midend.make_cost_fn(
+            head, tail, N, refp, rho_mid=float(g["rho"]),
+            weight_pr=float(g["weightPR"]),
+            integral_res=int(g["integralRes"]))
+        from isdf_tpu.opt import lbfgs
+
+        x0 = backend.pack(timemap.T_to_tau(T0), refp)
+        res = lbfgs.minimize(cost_and_grad, x0, None, m=16, max_iters=400,
+                             g_epsilon=0.0, past=10, rel_cost_tol=1e-8)
+        traj, T, q = backend.build_traj(res.x, N, head, tail)
+
+        # (1) cost-level: the reference's endpoint, evaluated under the repo
+        # cost, must be within 1% of the repo optimum (and vice versa the
+        # repo cost must not be worse than the reference's reported f*)
+        T_ref = jnp.asarray(g["T_star"])
+        q_ref = jnp.asarray(np.reshape(g["points_star"], (3, N - 1)).T)
+        x_ref = backend.pack(timemap.T_to_tau(T_ref), q_ref)
+        f_ref_repo = float(raw(x_ref))
+        f_repo = float(res.f)
+        assert f_repo <= f_ref_repo * 1.01 + 1e-9, (f_repo, f_ref_repo)
+        np.testing.assert_allclose(f_repo, float(g["f_star"]), rtol=2e-2)
+
+        # (2) trajectory-level: positions sampled at the golden's normalized
+        # timestamps agree within 5 cm over an ~9 m flight
+        ts_ref = np.asarray(g["eval_ts"])
+        pos_ref = np.reshape(g["eval_pos"], (len(ts_ref), 3))
+        fracs = ts_ref / float(g["total_duration"])
+        ts = jnp.asarray(fracs) * traj.total_duration
+        pos = jax.vmap(traj.pos)(ts)
+        err = np.linalg.norm(np.asarray(pos) - pos_ref, axis=-1)
+        assert err.max() < 0.05, err.max()

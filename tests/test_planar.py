@@ -13,6 +13,9 @@ from isdf_tpu.core.poly import PolyTraj
 from isdf_tpu.opt import backend
 from isdf_tpu.shapes import make_shape
 from isdf_tpu.sweep import sweep_sdf, sdf_at_time
+import pytest
+
+pytestmark = pytest.mark.demo
 
 
 class TestPlanarPose:

@@ -12,6 +12,8 @@ from isdf_tpu.search import build_pose_kernels, pose_feasibility, astar_se3
 from isdf_tpu.search.astar import subsample_waypoints
 from isdf_tpu.world import GridMap, maps_gen
 
+pytestmark = pytest.mark.smoke
+
 
 class TestPoseKernels:
     def test_kernel_matches_direct_sdf(self):

@@ -11,6 +11,9 @@ from isdf_tpu.sim import (
 )
 from isdf_tpu.sim.quadrotor import force_moments_to_rpm
 from isdf_tpu.world.maps_gen import mockamap
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 class TestQuadrotor:

@@ -15,6 +15,9 @@ from isdf_tpu.core.poly import PolyTraj
 from isdf_tpu.shapes import make_shape
 from isdf_tpu.sweep import sweep_sdf, sweep_sdf_warm, sdf_at_time
 from isdf_tpu.sweep.sweep_sdf import sweep_sdf_dot
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def make_traj(key=0, N=4, spread=4.0):

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from isdf_tpu.world import GridMap, aabb, maps_gen
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def brute_force_esdf(occ, res):
