@@ -49,10 +49,12 @@ _COMMON = dict(
     # attitude penalty the reference never invokes (addTimeIntPenalty is not
     # called by mid_end's costFunction).  Our wired implementation adds
     # peak-hold ref resampling + window bridging, which roughly triples the
-    # effective tracking strength; 2000 is calibrated so demo6 (L-shape
-    # through map3 slits) and the synthetic slit tests are all collision-free
-    # — attitude refs are guidance for the swept-SDF penalty, not a hard
-    # constraint.
+    # effective tracking strength.  Measured sensitivity on demo6 (BASELINE.md
+    # "weight_ar sensitivity"): 2000 → clearance +0.62 m, 8000 → +0.58 m,
+    # 32000 → −0.51 m (COLLIDES — attitude tracking over-dominates the
+    # safety penalty); the cliff sits between 8000 and 32000, so 2000 is
+    # kept — attitude refs are guidance for the swept-SDF penalty, not a
+    # hard constraint.
     weight_ar=2000.0, weight_omg=1000.0, weight_theta=1000.0,
 )
 

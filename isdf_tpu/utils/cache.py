@@ -8,7 +8,26 @@ directories avoid mixing TPU and CPU executables.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _cpu_feature_tag() -> str:
+    """Short hash of the host CPU's feature flags: XLA:CPU AOT executables
+    are machine-feature-specific, and loading one compiled on a different
+    host emits SIGILL-risk warnings (seen in MULTICHIP_r02.json) — keying
+    the CPU cache dir by features keeps each host's cache clean."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(
+                        line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
 
 
 def setup_compilation_cache(root: str = None):
@@ -19,7 +38,8 @@ def setup_compilation_cache(root: str = None):
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))))
     plat = jax.default_backend()
-    sub = ".jax_cache" if plat != "cpu" else ".jax_cache_cpu"
+    sub = (".jax_cache" if plat != "cpu"
+           else f".jax_cache_cpu_{_cpu_feature_tag()}")
     cache_dir = os.path.join(root, sub)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
