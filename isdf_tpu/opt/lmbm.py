@@ -28,12 +28,18 @@ the Fortran core, lmbm_sub.f AGBFGS/AGGSR1 + lmbm_main.f's WK test):
     amount, the Fortran's TL test); otherwise the trial's subgradient
     enters the bundle as a null step.
 
-Limited-memory model: inverse-Hessian two-loop over serious-step (s, y)
-pairs (the Fortran maintains L-BFGS **and** L-SR1 models and switches after
-null steps; costs here are smoothed enough that the single BFGS model with
-locality-aware aggregation matches it on every benchmark we measure — see
-tests/test_lmbm.py::TestBackendParity for the recorded comparison on the
-back-end (demo) cost landscape).
+Limited-memory DUAL model (the Fortran's DLBFGS/DLSR1 pair): after a
+serious step the search direction is the inverse-Hessian two-loop over the
+serious-step (s, y) pairs; after a null step it switches to the
+limited-memory **SR1** inverse model in compact form
+    H = γI + (S − γY) (D + L + Lᵀ − γYᵀY)⁻¹ (S − γY)ᵀ
+(W = YᵀS, D = diag W, L = strict lower W) applied to the AGGREGATE
+subgradient — SR1 admits indefinite curvature, which is what makes the
+bundle's null-step model honest on kinked landscapes (lmbm_sub.f AGGSR1).
+Remaining documented difference from the Fortran: correction pairs are
+collected on serious steps only (the Fortran also folds null-step pairs
+into its SR1 matrices); tests/test_lmbm.py::TestBackendParity records the
+endpoint comparison vs L-BFGS on the back-end (demo) cost landscape.
 
 Everything lives in one ``lax.while_loop`` (fixed-shape ring buffers), so it
 jits and vmaps across scenario batches exactly like opt/lbfgs.py.
@@ -117,6 +123,35 @@ def _aggregate3(g_m, g_new, g_hat, beta_new, beta_hat):
     return g_agg, beta_agg
 
 
+def _sr1_direction(g, S, Y, rho, n_corr, head, m):
+    """−H·g with the limited-memory inverse-SR1 compact representation over
+    the ring buffer's valid pairs (masked, fixed-shape).  Falls back to −γg
+    when no pairs exist; callers additionally guard descent."""
+    dtype = g.dtype
+    order = (head - n_corr + jnp.arange(m)) % m
+    valid = (jnp.arange(m) < n_corr).astype(dtype)
+    Sv = S[order] * valid[:, None]                     # (m, n)
+    Yv = Y[order] * valid[:, None]
+
+    last = (head - 1) % m
+    yy = jnp.dot(Y[last], Y[last])
+    sy = jnp.dot(S[last], Y[last])
+    gam = jnp.where(n_corr > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+
+    W = Yv @ Sv.T                                      # (m, m) = YᵀS
+    D = jnp.diag(jnp.diag(W))
+    L = jnp.tril(W, k=-1)
+    M = D + L + L.T - gam * (Yv @ Yv.T)
+    # mask invalid slots to identity rows/cols so the solve stays regular
+    vm = valid[:, None] * valid[None, :]
+    M = M * vm + jnp.diag(1.0 - valid)
+    A = Sv - gam * Yv                                  # (m, n)
+    rhs = A @ g                                        # (m,)
+    coef = jnp.linalg.solve(
+        M + 1e-12 * jnp.eye(m, dtype=dtype), rhs) * valid
+    return -(gam * g + A.T @ coef)
+
+
 def minimize(
     cost_and_grad: Callable,
     x0,
@@ -128,6 +163,7 @@ def minimize(
     gamma: float = 0.25,
     max_ls: int = 12,
     max_null: int = 30,
+    sr1_null_steps: bool = True,
 ) -> LBFGSResult:
     """Minimize a (possibly nonsmooth) function; same signature/result type
     as opt.lbfgs.minimize.
@@ -157,7 +193,16 @@ def minimize(
         return (~st.done) & (st.it < max_iters)
 
     def body(st: _LMBMState):
-        d = -_two_loop(st.g_hat, st.S, st.Y, st.rho, st.n_corr, st.head, m)
+        d_bfgs = -_two_loop(st.g_hat, st.S, st.Y, st.rho, st.n_corr,
+                            st.head, m)
+        if sr1_null_steps:
+            # dual model: SR1 direction on the aggregate after null steps
+            # (Fortran AGGSR1/DLSR1), BFGS after serious steps (DLBFGS)
+            d_sr1 = _sr1_direction(
+                st.g_hat, st.S, st.Y, st.rho, st.n_corr, st.head, m)
+            d = jnp.where(st.null_streak > 0, d_sr1, d_bfgs)
+        else:
+            d = d_bfgs
         dg = jnp.dot(d, st.g_hat)
         d = jnp.where(dg < 0, d, -st.g_hat)
         # desirable descent amount w = −ĝᵀd + 2β̂  (Fortran WK)

@@ -128,3 +128,46 @@ class TestBackendParity:
         # comparable quality (within 25% of each other)
         ratio = float(r_bundle.f) / float(r_lbfgs.f)
         assert 0.6 < ratio < 1.67, (float(r_bundle.f), float(r_lbfgs.f))
+
+
+class TestSR1DualModel:
+    def test_sr1_direction_recovers_newton_on_quadratic(self):
+        """With full-rank pairs on a quadratic, the inverse-SR1 compact
+        model reproduces H = A⁻¹ exactly (classic SR1 n-step property)."""
+        from isdf_tpu.opt.lmbm import _sr1_direction
+
+        rng = np.random.default_rng(0)
+        n, m = 5, 8
+        Amat = rng.normal(size=(n, n))
+        Amat = Amat @ Amat.T + np.eye(n)  # SPD Hessian
+        S = np.zeros((m, n))
+        Y = np.zeros((m, n))
+        for k in range(n):
+            s = rng.normal(size=n)
+            S[k] = s
+            Y[k] = Amat @ s
+        g = rng.normal(size=n)
+        d = _sr1_direction(
+            jnp.asarray(g), jnp.asarray(S), jnp.asarray(Y),
+            jnp.zeros(m), jnp.asarray(n), jnp.asarray(n % m), m)
+        np.testing.assert_allclose(
+            np.asarray(d), -np.linalg.solve(Amat, g), rtol=1e-6, atol=1e-8)
+
+    def test_dual_model_on_nonsmooth(self):
+        """SR1-on vs SR1-off on a nonsmooth test function: both converge;
+        the dual model must not regress the endpoint."""
+        from isdf_tpu.opt import lmbm
+
+        def cg(x, aux):
+            # sharp-ridge MAXQ-like function: max_i x_i^2 (nonsmooth)
+            f = jnp.max(x * x)
+            g = jax.grad(lambda z: jnp.max(z * z))(x)
+            return f, g, aux
+
+        x0 = jnp.asarray(np.linspace(1.0, 2.0, 8))
+        r_on = lmbm.minimize(cg, x0, None, max_iters=200,
+                             sr1_null_steps=True)
+        r_off = lmbm.minimize(cg, x0, None, max_iters=200,
+                              sr1_null_steps=False)
+        assert float(r_on.f) < 1e-4
+        assert float(r_on.f) <= float(r_off.f) * 10 + 1e-6
