@@ -44,13 +44,20 @@ def _interp3(field, origin, res, px, py, pz):
     gy, iy, fy = axis(py, 1)
     gz, iz, fz = axis(pz, 2)
 
-    def gat(ox, oy, oz):
-        return field[ix + ox, iy + oy, iz + oz]
+    # flat single-index gathers: one fused index computation + 8 1-D takes
+    # lowers ~1.4× faster on TPU than 3-D advanced indexing (measured,
+    # BASELINE.md "grid-shape sweep")
+    flat = field.reshape(-1)
+    base = (ix * n[1] + iy) * n[2] + iz
 
-    c00 = gat(0, 0, 0) * (1 - fx) + gat(1, 0, 0) * fx
-    c10 = gat(0, 1, 0) * (1 - fx) + gat(1, 1, 0) * fx
-    c01 = gat(0, 0, 1) * (1 - fx) + gat(1, 0, 1) * fx
-    c11 = gat(0, 1, 1) * (1 - fx) + gat(1, 1, 1) * fx
+    def gat(off):
+        return jnp.take(flat, base + off)
+
+    o_x, o_y = n[1] * n[2], n[2]
+    c00 = gat(0) * (1 - fx) + gat(o_x) * fx
+    c10 = gat(o_y) * (1 - fx) + gat(o_x + o_y) * fx
+    c01 = gat(1) * (1 - fx) + gat(o_x + 1) * fx
+    c11 = gat(o_y + 1) * (1 - fx) + gat(o_x + o_y + 1) * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
     inner = c0 * (1 - fz) + c1 * fz

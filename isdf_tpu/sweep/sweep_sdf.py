@@ -223,6 +223,44 @@ def _fused_ok(shape, params, use_pallas) -> bool:
         return False
 
 
+def _grid_fused_ok(shape, params, use_pallas) -> bool:
+    """Dispatch the fused grid-zoom Pallas kernel (pallas_grid_zoom.py) for
+    grid-backed shapes whose field fits the VMEM budget — measured ~7× the
+    XLA gather zoom (BASELINE.md "grid-shape sweep")."""
+    if use_pallas is False:
+        return False
+    import jax as _jax
+
+    return (
+        shape.grid is not None
+        and shape.grid.field2d.nbytes <= _PALLAS_FIELD_VMEM_BUDGET
+        and isinstance(params, (fl.FlatParams, fl.PlanarPose))
+        and _jax.default_backend() == "tpu"
+    )
+
+
+def _grid_zoom2(shape, traj, params, p_eva, seeds_a, w_a, seeds_b, w_b,
+                rounds):
+    """Both zoom refinements for a grid shape in ONE kernel launch (2P
+    stacked — blocks are independent)."""
+    from isdf_tpu.sweep.pallas_grid_zoom import (
+        grid_zoom_refine, grid_zoom_inputs)
+
+    P = p_eva.shape[0]
+    dims, fieldT, geo = grid_zoom_inputs(shape.grid)
+    durs = traj.durations
+    starts = jnp.cumsum(durs) - durs
+    pts2 = jnp.concatenate([p_eva, p_eva], axis=0)
+    seeds = jnp.concatenate([seeds_a, seeds_b])
+    w0 = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(w_a, seeds.dtype), (P,)),
+        jnp.broadcast_to(jnp.asarray(w_b, seeds.dtype), (P,)),
+    ])
+    t2, d2 = grid_zoom_refine(dims, params, fieldT, geo, pts2, seeds, w0,
+                              starts, durs, traj.coeffs, rounds=rounds)
+    return t2[:P], d2[:P], t2[P:], d2[P:]
+
+
 def _sweep_fused(shape, traj, params, p_eva, t_warm, coarse_n, refine_rounds,
                  warm_window):
     """Fused-kernel warm sweep: one Pallas launch + one differentiable
@@ -276,6 +314,23 @@ def sweep_sdf(
     xs, Rs = traj_states(traj, params, ts)
     t0, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
     w0 = total / (coarse_n - 1)
+    if _grid_fused_ok(shape, params, use_pallas):
+        from isdf_tpu.sweep.fast_eval import sdf_at_time_c
+        from isdf_tpu.sweep.pallas_grid_zoom import (
+            grid_zoom_refine, grid_zoom_inputs)
+
+        dims, fieldT, geo = grid_zoom_inputs(shape.grid)
+        durs = traj.durations
+        starts = jnp.cumsum(durs) - durs
+        w0v = jnp.broadcast_to(jnp.asarray(w0, t0.dtype), t0.shape)
+        t_star, _ = grid_zoom_refine(
+            dims, params, fieldT, geo, p_eva, t0, w0v, starts, durs,
+            traj.coeffs, rounds=refine_rounds)
+        t_star = jax.lax.stop_gradient(t_star)
+        pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+        sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
+        grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
+        return sdf_star, t_star, grad_prel
     t_star, sdf_star = _zoom(shape, traj, params, p_eva, t0, w0, refine_rounds)
     t_star = jax.lax.stop_gradient(t_star)
     grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
@@ -314,6 +369,19 @@ def sweep_sdf_warm(
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
     t0_coarse, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
+
+    if _grid_fused_ok(shape, params, use_pallas):
+        from isdf_tpu.sweep.fast_eval import sdf_at_time_c
+
+        tA, dA, tB, dB = _grid_zoom2(
+            shape, traj, params, p_eva, jnp.clip(t_warm, 0.0, total),
+            warm_window, t0_coarse, total / (coarse_n - 1), refine_rounds)
+        use_a = dA <= dB
+        t_star = jax.lax.stop_gradient(jnp.where(use_a, tA, tB))
+        pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+        sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
+        grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
+        return sdf_star, t_star, grad_prel
 
     tA, dA = _zoom(shape, traj, params, p_eva,
                    jnp.clip(t_warm, 0.0, total), warm_window, refine_rounds)

@@ -232,3 +232,56 @@ class TestFusedSweepKernel:
                                        atol=1e-6)
             np.testing.assert_allclose(np.asarray(db[b]), np.asarray(d1),
                                        atol=1e-6)
+
+
+class TestGridZoomKernel:
+    """pallas_grid_zoom (two-hot slab zoom, TPU production path for mesh
+    shapes) vs the XLA gather zoom, interpret mode."""
+
+    def test_parity_vs_xla_zoom(self):
+        from isdf_tpu.config import Config
+        from isdf_tpu.core import flatness as fl
+        from isdf_tpu.shapes.gridsdf import grid_shape
+        from isdf_tpu.sweep.sweep_sdf import _zoom
+        from isdf_tpu.sweep.pallas_grid_zoom import (
+            grid_zoom_refine, grid_zoom_inputs)
+
+        conf = Config(vmax=5.0, omgmax=5.0, thetamax=1.5, safety_hor=0.4)
+        params = fl.FlatParams.from_config(conf)
+        n, res = 24, 0.1
+        origin = np.full(3, -1.2)
+        ii = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                      axis=-1)
+        p = origin + ii * res
+        xy = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2) - 0.6
+        field = np.sqrt(xy ** 2 + p[..., 2] ** 2) - 0.25
+        shape = grid_shape("t24", field, origin, res)
+
+        rng = np.random.default_rng(0)
+        N = 4
+        q = jnp.asarray(
+            np.linspace(1, 7, N - 1)[:, None] * np.array([1.0, 0.3, 0.15])
+            + rng.normal(scale=0.3, size=(N - 1, 3)), jnp.float32)
+        T = jnp.asarray(rng.uniform(1.2, 2.2, size=N), jnp.float32)
+        head = jnp.zeros((3, 3), jnp.float32)
+        tail = jnp.zeros((3, 3), jnp.float32).at[:, 0].set(
+            jnp.asarray([8.0, 2.0, 1.0], jnp.float32))
+        traj = PolyTraj(T, minco.solve(q, T, head, tail))
+        P = 200
+        pts = jnp.asarray(rng.uniform(-1, 9, size=(P, 3)), jnp.float32)
+        t0 = jnp.asarray(
+            rng.uniform(0, float(traj.total_duration), size=(P,)),
+            jnp.float32)
+        w0 = jnp.full((P,), 0.3, jnp.float32)
+
+        t_ref, d_ref = _zoom(shape, traj, params, pts, t0, w0, 8)
+        durs = traj.durations
+        starts = jnp.cumsum(durs) - durs
+        dims, fieldT, geo = grid_zoom_inputs(shape.grid)
+        t_pl, d_pl = grid_zoom_refine(
+            dims, params, fieldT, geo, pts, t0, w0, starts, durs,
+            traj.coeffs, rounds=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(t_pl), np.asarray(t_ref),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                                   atol=2e-3)
