@@ -42,6 +42,10 @@ VPU_PEAK_FLOPS = 8 * 128 * 4 * 0.94e9  # assumed v5e f32 VPU peak ≈ 3.85e12
 def main():
     import jax
 
+    # ISDF_PROFILE=<dir>: capture a jax.profiler device trace of the sweep
+    # section (open with TensorBoard / xprof — SURVEY §5 profiling row)
+    profile_dir = os.environ.get("ISDF_PROFILE", "")
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -95,6 +99,11 @@ def main():
     )
     sdf, t_star, grad = fn(pts, t_warm)
     jax.block_until_ready(sdf)
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                sdf, t_star, grad = fn(pts, t_star)
+            jax.block_until_ready(sdf)
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):

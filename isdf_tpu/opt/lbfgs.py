@@ -166,7 +166,7 @@ def minimize(
     max_ls: int = 24,
     resume_state: "_State" = None,
     trace_len: int = None,
-    consistent_baseline: bool = False,
+    consistent_baseline: bool = True,
 ) -> LBFGSResult:
     """Run L-BFGS; fully jit-compatible (call under jit / vmap).
 
@@ -175,14 +175,16 @@ def minimize(
     single device programs short and provides between-chunk observability
     (the reference's earlyExit callback cadence).
 
-    consistent_baseline: when True, re-evaluate cost+grad at (x, aux) at the
-    top of every iteration so the line-search baseline is exactly consistent
-    with the refreshed aux (t* warm seeds).  Default False: reuse the
-    accepted trial's (f, g) — computed under the pre-refresh aux — as the
-    baseline and absorb the tiny objective drift with a relative Armijo
-    slack.  Saves one full cost+grad per iteration (30–50% of solve cost
-    when the search accepts in 1–2 trials; VERDICT r2 weak #6) at equal
-    endpoints (tests/test_opt.py::TestBaselineSkip).
+    consistent_baseline (default True): re-evaluate cost+grad at (x, aux)
+    at the top of every iteration so the line-search baseline and descent
+    direction are exactly consistent with the refreshed aux (t* warm
+    seeds).  False reuses the accepted trial's (f, g) — computed under the
+    pre-refresh aux — absorbing the objective drift with a relative Armijo
+    slack; this saves one full cost+grad per iteration (~30% of solve cost,
+    tests/test_opt.py::TestBaselineSkip) but the stale baseline/direction
+    measurably degrades solution quality on marginal scenarios (demo2's
+    swept-volume clearance flipped negative), so it is opt-in for
+    throughput-over-quality workloads only.
     """
     n = x0.shape[0]
     dtype = x0.dtype

@@ -159,9 +159,11 @@ class TestBackendCost:
 
 class TestBaselineSkip:
     def test_fewer_evals_equal_endpoint(self):
-        """Default (baseline-skip + Armijo slack) must cut cost evals ≥25%
-        vs consistent_baseline=True at an equivalent endpoint on a real
-        back-end solve (VERDICT r2 item 3)."""
+        """Opt-in baseline-skip (+ Armijo slack) must cut cost evals ≥25%
+        vs the consistent default at an equivalent endpoint on a real
+        back-end solve (VERDICT r2 item 3).  NOT the default: the stale
+        baseline degrades marginal planning scenarios (see lbfgs.minimize
+        docstring)."""
         conf = Config(
             integralIntervs=8, sweep_coarse_samples=16,
             sweep_refine_rounds=6, vmax=5.0, omgmax=5.0, thetamax=1.5,
@@ -185,7 +187,8 @@ class TestBaselineSkip:
             shape, params, w, head, tail, N, pts, mask,
             integral_res=8, coarse_n=16, refine_rounds=6)
 
-        res_skip = lbfgs.minimize(cg, x0, tw, max_iters=30)
+        res_skip = lbfgs.minimize(cg, x0, tw, max_iters=30,
+                                  consistent_baseline=False)
         res_cons = lbfgs.minimize(cg, x0, tw, max_iters=30,
                                   consistent_baseline=True)
         f_skip, f_cons = float(res_skip.f), float(res_cons.f)
@@ -194,3 +197,40 @@ class TestBaselineSkip:
         ev_skip, ev_cons = int(res_skip.n_evals), int(res_cons.n_evals)
         # ≥25% fewer cost evals per solve (VERDICT criterion)
         assert ev_skip <= 0.75 * ev_cons, (ev_skip, ev_cons)
+
+
+class TestMonitorPath:
+    def test_optimize_with_monitor_streams_breakdowns(self):
+        """The monitored chunked solve must stream CostBreakdowns read from
+        the solver's aux (no re-evaluation path, VERDICT r2 weak #6) and
+        reach the same quality as the plain solve."""
+        from isdf_tpu.utils.monitor import OptiMonitor
+
+        conf = Config(
+            integralIntervs=8, sweep_coarse_samples=16,
+            sweep_refine_rounds=4, vmax=5.0, omgmax=5.0, thetamax=1.5,
+            safety_hor=0.4, mem_size=8,
+        )
+        shape = make_shape("Ball", conf)
+        rng = np.random.default_rng(0)
+        head = jnp.zeros((3, 3))
+        tail = jnp.zeros((3, 3)).at[:, 0].set(jnp.array([6.0, 1.0, 0.5]))
+        q0 = jnp.asarray(np.linspace(1, 5, 3)[:, None]
+                         * np.array([1.0, 0.2, 0.1]))
+        T0 = jnp.full((4,), 2.0)
+        pts = jnp.asarray(rng.uniform(0, 6, size=(64, 3)))
+        mask = jnp.ones((64,), bool)
+
+        mon = OptiMonitor()
+        traj, res = backend.optimize(
+            shape, conf, head, tail, q0, T0, pts, mask, max_iters=12,
+            monitor=mon, monitor_chunk=4)
+        assert np.isfinite(float(res.f))
+        # breakdowns streamed and totals consistent with component sums
+        assert len(mon.total) >= 1
+        for i in range(len(mon.total)):
+            parts = (mon.energy[i] + mon.time_cost[i] + mon.dyn[i]
+                     + mon.safety[i])
+            np.testing.assert_allclose(mon.total[i], parts, rtol=1e-5)
+        # aux restored to plain t* shape for downstream consumers
+        assert res.aux.shape == (64,)
