@@ -368,15 +368,22 @@ class PlannerManager:
     def _audit_violations(self, traj, margin: float = 1e-3):
         """(voxel centers, argmin times) whose swept SDF ≤ margin, worst
         first.  The t* values seed the re-solve's warm starts so the
-        optimizer's (coarser) argmin scan cannot alias over the violation."""
+        optimizer's (coarser) argmin scan cannot alias over the violation.
+
+        When ANY voxel violates, the whole grazing NEIGHBORHOOD (sdf ≤
+        safety_hor/2) is returned, worst first: injecting a single deepest
+        voxel gives the re-solve one isolated gradient spike it can slide
+        around; the surrounding near-contact voxels are what wall off the
+        colliding channel."""
         live, sdf, t_star = self._audit_sdf(traj)
         if live is None:
             return None, None
         bad = sdf <= margin
         if not bad.any():
             return live[:0], t_star[:0]
-        order = np.argsort(sdf[bad], kind="stable")
-        return live[bad][order], t_star[bad][order]
+        near = sdf <= max(float(self.conf.safety_hor) * 0.5, margin)
+        order = np.argsort(sdf[near], kind="stable")
+        return live[near][order], t_star[near][order]
 
     def audit_collision(self, traj, n_samples: int = 400) -> float:
         """Minimum swept SDF over all occupied voxels near the trajectory —
