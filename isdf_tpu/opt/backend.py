@@ -231,7 +231,12 @@ def optimize(
     monitor: optional utils.monitor.OptiMonitor — switches to the chunked
     driver and streams a CostBreakdown every `monitor_chunk` iterations (the
     reference's earlyExit/debug_publisher cadence); the monitor's Controller
-    can stop/pause the solve between chunks (opcodes 21/22).
+    can stop/pause the solve between chunks (opcodes 21/22).  Note: the
+    streamed breakdown is the one computed at the last accepted line-search
+    trial under the pre-refresh t* warm seeds, so near convergence it can
+    lag the re-evaluated baseline by the aux-refresh drift — treat streamed
+    totals as a monitor feed, not exact final costs (it replaces a full
+    extra evaluation per chunk).
     Returns (PolyTraj, LBFGSResult).
     """
     N = T0.shape[0]

@@ -53,8 +53,14 @@ class _State(NamedTuple):
     trace: jax.Array
 
 
-def _two_loop(g, S, Y, rho, n_corr, head, m):
-    """Two-loop recursion over a ring buffer (most recent = head−1)."""
+def _two_loop(g, S, Y, rho, n_corr, head, m, gamma_clamp=None):
+    """Two-loop recursion over a ring buffer (most recent = head−1).
+
+    gamma_clamp: optional (lo, hi) safeguard for the initial-Hessian
+    scaling γ = s·y/y·y (the Fortran LMBM's SCLPAR clamps γ to keep a
+    degenerate last pair — tiny s·y at a kink — from collapsing the
+    direction).  None (the L-BFGS default) keeps the classic unclamped
+    scaling."""
     q = g
     alphas = jnp.zeros((m,), g.dtype)
 
@@ -74,6 +80,9 @@ def _two_loop(g, S, Y, rho, n_corr, head, m):
     yy = jnp.dot(Y[last], Y[last])
     sy = jnp.dot(S[last], Y[last])
     gamma = jnp.where(n_corr > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+    if gamma_clamp is not None:
+        lo, hi = gamma_clamp
+        gamma = jnp.clip(gamma, lo, hi)
     r = gamma * q
 
     def fwd(i, r):

@@ -36,10 +36,14 @@ limited-memory **SR1** inverse model in compact form
 (W = YᵀS, D = diag W, L = strict lower W) applied to the AGGREGATE
 subgradient — SR1 admits indefinite curvature, which is what makes the
 bundle's null-step model honest on kinked landscapes (lmbm_sub.f AGGSR1).
-Remaining documented difference from the Fortran: correction pairs are
-collected on serious steps only (the Fortran also folds null-step pairs
-into its SR1 matrices); tests/test_lmbm.py::TestBackendParity records the
-endpoint comparison vs L-BFGS on the back-end (demo) cost landscape.
+Null-step auxiliary pairs (s = t·d, y = g⁺ − g_m) are folded into the
+shared pair memory too (the Fortran's AGGSR1/DLSR1 update with the
+auxiliary subgradient, guarded by positive curvature here so the buffer
+stays valid for the BFGS two-loop), and a stalled null streak triggers a
+RESTART (memory + aggregation cleared, like lmbm_main.f's restart path)
+rather than termination — both were required to match the Fortran's
+accuracy on MXHILB (tests/test_lmbm_fortran.py, the golden-parity suite
+against the reference's prebuilt lmbm.so).
 
 Everything lives in one ``lax.while_loop`` (fixed-shape ring buffers), so it
 jits and vmaps across scenario batches exactly like opt/lbfgs.py.
@@ -70,6 +74,7 @@ class _LMBMState(NamedTuple):
     it: jax.Array
     evals: jax.Array
     null_streak: jax.Array
+    n_restarts: jax.Array
     done: jax.Array
     trace: jax.Array
 
@@ -133,10 +138,12 @@ def _sr1_direction(g, S, Y, rho, n_corr, head, m):
     Sv = S[order] * valid[:, None]                     # (m, n)
     Yv = Y[order] * valid[:, None]
 
-    last = (head - 1) % m
-    yy = jnp.dot(Y[last], Y[last])
-    sy = jnp.dot(S[last], Y[last])
-    gam = jnp.where(n_corr > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+    # the Fortran's DLSR1 uses γ = 1 unconditionally for the SR1 dual model
+    # (lmbm_sub.f "Computation of GAMMA": GAMMA = 1.0D+00) — data-dependent
+    # scaling here is both non-PSD-risky (s·y ≤ 0 pairs at kinks) and
+    # measurably worse (collapsed directions on the back-end landscape);
+    # keep the identity base metric
+    gam = jnp.asarray(1.0, dtype)
 
     W = Yv @ Sv.T                                      # (m, m) = YᵀS
     D = jnp.diag(jnp.diag(W))
@@ -162,7 +169,8 @@ def minimize(
     eps_l: float = 1e-4,
     gamma: float = 0.25,
     max_ls: int = 12,
-    max_null: int = 30,
+    max_null: int = 50,
+    max_restarts: int = 2,
     sr1_null_steps: bool = True,
 ) -> LBFGSResult:
     """Minimize a (possibly nonsmooth) function; same signature/result type
@@ -185,6 +193,7 @@ def minimize(
         n_corr=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
         it=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
         null_streak=jnp.asarray(0, jnp.int32),
+        n_restarts=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         trace=jnp.full((max_iters,), jnp.nan, dtype),
     )
@@ -193,8 +202,11 @@ def minimize(
         return (~st.done) & (st.it < max_iters)
 
     def body(st: _LMBMState):
+        # SCLPAR-style clamp: null-step pairs at kinks can have s·y ≪ y·y;
+        # unclamped γ = s·y/y·y would collapse the direction (death spiral
+        # of null steps, measured on the back-end landscape)
         d_bfgs = -_two_loop(st.g_hat, st.S, st.Y, st.rho, st.n_corr,
-                            st.head, m)
+                            st.head, m, gamma_clamp=(0.01, 100.0))
         if sr1_null_steps:
             # dual model: SR1 direction on the aggregate after null steps
             # (Fortran AGGSR1/DLSR1), BFGS after serious steps (DLBFGS)
@@ -235,11 +247,19 @@ def minimize(
         )
         x_t = st.x + t_fin * d
 
-        # --- serious step: accept x_t, push correction pair, reset bundle
+        # --- correction pair: serious steps AND null steps both push the
+        # auxiliary-point pair (s = t·d, y = g⁺ − g) into the shared memory
+        # (the Fortran's DLBFGS/DLSR1 both update from the auxiliary point;
+        # null-pair folding is what lets the model improve DURING a null
+        # streak — decisive on ill-conditioned problems, MXHILB 1.9e-3 →
+        # 3.6e-5 in the Fortran-parity suite).  Safeguards that make this
+        # safe on the stiff kinked back-end landscape: positive-curvature
+        # guard here (keeps the two-loop valid), γ-clamp above, and γ = 1
+        # in the SR1 dual model (both per the Fortran).
         s_vec = x_t - st.x
         y_vec = g_t - st.g
         sy = jnp.dot(s_vec, y_vec)
-        good = serious & (sy > 1e-12)
+        good = sy > 1e-12
         S = jnp.where(good, st.S.at[st.head].set(s_vec), st.S)
         Y = jnp.where(good, st.Y.at[st.head].set(y_vec), st.Y)
         rho = jnp.where(good, st.rho.at[st.head].set(1.0 / jnp.maximum(sy, 1e-30)), st.rho)
@@ -268,13 +288,30 @@ def minimize(
         # stopping: desirable descent w = ‖ĝ‖² + 2β̂ small (WK criterion
         # with the identity model; the −ĝᵀd form is used for the search)
         wk = jnp.dot(g_new, g_new) + 2.0 * beta_hat
-        done = (wk < tol * tol) | (null_streak > max_null)
+        # stalled null streak ⇒ RESTART (the Fortran's restart path, not a
+        # termination): clear the pair memory and reset the aggregate to
+        # the plain subgradient at the serious point; give up only after
+        # max_restarts restarts fail to produce a serious step.
+        restart = null_streak > max_null
+        exhausted = restart & (st.n_restarts >= max_restarts)
+        n_corr = jnp.where(restart, 0, n_corr)
+        head = jnp.where(restart, 0, head)
+        g_new = jax.tree.map(
+            lambda a, b: jnp.where(restart, a, b), g_base, g_new)
+        beta_hat = jnp.where(restart, 0.0, beta_hat)
+        null_streak = jnp.where(restart, 0, null_streak)
+        done = (wk < tol * tol) | exhausted
         return _LMBMState(
             x=x_new, f=f_new, g=g_base, g_hat=g_new, beta_hat=beta_hat,
             aux=aux_new,
             S=S, Y=Y, rho=rho, n_corr=n_corr, head=head,
             it=st.it + 1, evals=st.evals + k_ls,
-            null_streak=null_streak, done=done,
+            null_streak=null_streak,
+            # a serious step clears the restart budget (the Fortran fails
+            # only on CONSECUTIVE restarts without progress)
+            n_restarts=jnp.where(
+                serious, 0, st.n_restarts + restart.astype(jnp.int32)),
+            done=done,
             trace=st.trace.at[st.it].set(f_new),
         )
 

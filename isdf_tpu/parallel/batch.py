@@ -130,7 +130,8 @@ def batched_solve(shape, conf, batch: ScenarioBatch, max_iters: int = 50):
     )
 
 
-def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, state):
+def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, t0,
+               state):
     params = fl.FlatParams.from_config(conf)
     w = backend.BackendWeights.from_config(conf)
     N = T0.shape[0]
@@ -141,7 +142,6 @@ def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, state):
         coarse_n=conf.sweep_coarse_samples,
         refine_rounds=conf.sweep_refine_rounds,
     )
-    t0 = jnp.zeros(points.shape[0], x0.dtype)
     return lbfgs.minimize(
         cg, x0, t0, m=conf.mem_size, max_iters=chunk,
         g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol,
@@ -153,20 +153,21 @@ def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, state):
 # same scenario shapes hit the XLA executable cache instead of re-tracing
 # (per-call jax.jit closures would recompile the WHOLE solver every call)
 @partial(jax.jit, static_argnames=("shape", "conf", "chunk"))
-def _chunk_first(shape, conf, chunk, batch: ScenarioBatch):
+def _chunk_first(shape, conf, chunk, batch: ScenarioBatch, t_warm):
     return jax.vmap(
-        lambda h, t, q, T, p, m: _chunk_one(
-            shape, conf, chunk, h, t, q, T, p, m, None)
-    )(batch.head, batch.tail, batch.q0, batch.T0, batch.points, batch.mask)
+        lambda h, t, q, T, p, m, tw: _chunk_one(
+            shape, conf, chunk, h, t, q, T, p, m, tw, None)
+    )(batch.head, batch.tail, batch.q0, batch.T0, batch.points, batch.mask,
+      t_warm)
 
 
 @partial(jax.jit, static_argnames=("shape", "conf", "chunk"))
-def _chunk_cont(shape, conf, chunk, batch: ScenarioBatch, state):
+def _chunk_cont(shape, conf, chunk, batch: ScenarioBatch, t_warm, state):
     return jax.vmap(
-        lambda h, t, q, T, p, m, s: _chunk_one(
-            shape, conf, chunk, h, t, q, T, p, m, s)
+        lambda h, t, q, T, p, m, tw, s: _chunk_one(
+            shape, conf, chunk, h, t, q, T, p, m, tw, s)
     )(batch.head, batch.tail, batch.q0, batch.T0, batch.points, batch.mask,
-      state)
+      t_warm, state)
 
 
 @partial(jax.jit, static_argnames=("N",))
@@ -180,24 +181,108 @@ def _finish_batch(N, head, tail, x):
 
 def batched_solve_chunked(shape, conf, batch: ScenarioBatch,
                           max_iters: int = 50, chunk: int = 8,
-                          callback=None):
+                          callback=None, t_warm0=None):
     """Chunked batched solve: `chunk` L-BFGS iterations per device program,
     full solver state carried across calls.  Keeps single XLA executions
     short (very long device programs can trip runtime watchdogs) and gives
-    between-chunk observability.  Returns (coeffs, T, costs, iters)."""
+    between-chunk observability.  t_warm0 (B, P) optionally seeds the
+    per-point argmin-time warm starts (the audited re-solve path).
+    Returns (coeffs, T, costs, iters)."""
     N = batch.T0.shape[1]
-    res = _chunk_first(shape, conf, chunk, batch)
+    if t_warm0 is None:
+        t_warm0 = jnp.zeros(batch.points.shape[:2], batch.points.dtype)
+        if hasattr(batch.points, "sharding"):
+            t_warm0 = jax.device_put(t_warm0, batch.mask.sharding)
+    res = _chunk_first(shape, conf, chunk, batch, t_warm0)
     iters_done = chunk
     while iters_done < max_iters:
         if callback is not None:
             callback(res)
         if bool(jnp.all(res.converged)):
             break
-        res = _chunk_cont(shape, conf, chunk, batch, res.state)
+        res = _chunk_cont(shape, conf, chunk, batch, t_warm0, res.state)
         iters_done += chunk
 
     coeffs, T = _finish_batch(N, batch.head, batch.tail, res.x)
     return coeffs, T, res.f, res.n_iters
+
+
+@partial(jax.jit, static_argnames=("shape", "conf", "coarse_n"))
+def _batched_audit(shape, conf, batch: ScenarioBatch, coeffs, T,
+                   coarse_n: int):
+    """High-time-resolution batched swept-SDF audit of solved trajectories:
+    per-scenario sweep over ALL obstacle points at `coarse_n` time samples
+    (≫ the solve's sweep_coarse_samples, so thin-wall crossing dips the
+    optimizer's scan aliased over are caught).  Returns (sdf, t*) (B, P)."""
+    from isdf_tpu.core.poly import PolyTraj
+    from isdf_tpu.sweep import sweep_sdf
+
+    params = fl.FlatParams.from_config(conf)
+
+    def one(cb, Tb, points):
+        traj = PolyTraj(Tb, cb)
+        sdf, t_star, _ = sweep_sdf(
+            shape, traj, params, points, coarse_n=coarse_n,
+            refine_rounds=conf.sweep_refine_rounds,
+        )
+        return sdf, t_star
+
+    return jax.vmap(one)(coeffs, T, batch.points)
+
+
+@partial(jax.jit, static_argnames=("N",))
+def _batched_junctions(N, coeffs, T):
+    from isdf_tpu.core.poly import PolyTraj
+
+    def one(cb, Tb):
+        return PolyTraj(Tb, cb).junction_positions()[1:-1]
+
+    return jax.vmap(one)(coeffs, T)
+
+
+def batched_solve_audited(shape, conf, batch: ScenarioBatch,
+                          max_iters: int = 50, chunk: int = 8,
+                          audit_coarse_n: int = 512, margin: float = 1e-3):
+    """Batched solve + the safety audit/re-solve loop — the batched twin of
+    PlannerManager.plan's step 6 (plan/manager.py; ref plan_manager.cpp:
+    246-254).  The scenario batch carries no voxel map, so unlike the
+    single-plan path no NEW points can be injected; what the audit
+    contributes here is (a) a high-resolution argmin-time scan over every
+    scenario's full point set and (b) a warm re-solve in which every
+    grazing point's t* is seeded from that scan — the same aliasing fix
+    the single-plan path applies to injected violations (audit-t* seeding,
+    commit 21c6f2d).  Scenarios with no violations re-solve from their own
+    converged state in lockstep (masked no-ops).
+
+    Returns (coeffs, T, costs, iters, audit): audit = dict with the
+    violation count per round and the final min-SDF per scenario.
+    """
+    coeffs, T, costs, iters = batched_solve_chunked(
+        shape, conf, batch, max_iters=max_iters, chunk=chunk)
+    N = batch.T0.shape[1]
+    history = []
+    sdf = None
+    rounds = max(int(conf.safety_replan_rounds), 1)
+    for rnd in range(rounds + 1):   # final pass audits the last re-solve
+        sdf, t_star = _batched_audit(
+            shape, conf, batch, coeffs, T, audit_coarse_n)
+        viol = np.asarray((sdf <= margin) & batch.mask)
+        history.append(int(viol.sum()))
+        if history[-1] == 0 or rnd == rounds:
+            break
+        near = (sdf <= max(float(conf.safety_hor) * 0.5, margin)) \
+            & batch.mask
+        t_warm = jnp.where(near, t_star, 0.0)
+        q0 = _batched_junctions(N, coeffs, T)
+        batch2 = batch._replace(q0=q0, T0=T)
+        coeffs, T, costs, iters = batched_solve_chunked(
+            shape, conf, batch2, max_iters=max_iters, chunk=chunk,
+            t_warm0=t_warm)
+    min_sdf = jnp.min(jnp.where(batch.mask, sdf, jnp.inf), axis=1)
+    return coeffs, T, costs, iters, {
+        "violations_per_round": history,
+        "min_sdf": np.asarray(min_sdf),
+    }
 
 
 def make_random_batch(conf, B: int, N: int = 4, n_points: int = 128,

@@ -568,6 +568,163 @@ void dumpBackendIntegral() {
   endObj();
 }
 
+void dumpBackendSwept() {
+  // Swept-SDF safety penalty + its hand-chained adjoints at frozen t*
+  // (ref back_end_optimizer.hpp:557-649 addSaftyPenaOnSweptVolumeParallel +
+  // grad_cost_p_sw hpp:827-866, incl. the gradT(j<i) accumulation).  The
+  // body SDF is replaced by a fixed closed-form quadratic model
+  //   sdf(p_rel) = s0 + g·p_rel + 0.5·p_relᵀA p_rel
+  // evaluated consistently on both sides, so the piece under test is the
+  // gradient CHAIN (flatness quat → rotate → p_rel → quat/pos adjoints →
+  // backwardthreadsafe → gradC/gradT), not the sweep argmin (parity-tested
+  // elsewhere).  ∂(Rᵀ)/∂q_k (ref getQuatTransDW/DX/DY/DZ, hpp:127-173) is
+  // obtained by central differences of Eigen's quadratic quat→R map —
+  // exact for a degree-2 polynomial, no reference code reproduced.
+  const int N = 5;
+  Eigen::Matrix3d head = Eigen::Matrix3d::Zero();
+  Eigen::Matrix3d tail = Eigen::Matrix3d::Zero();
+  head(0, 0) = 0.5; head(1, 0) = -0.25; head(2, 0) = 1.0;
+  head(0, 1) = 0.3; head(1, 1) = 0.1;
+  tail(0, 0) = 8.0; tail(1, 0) = 3.0; tail(2, 0) = 2.0;
+  tail(2, 1) = -0.2;
+  Eigen::Matrix3Xd q(3, N - 1);
+  for (int i = 0; i < N - 1; ++i)
+    for (int d = 0; d < 3; ++d)
+      q(d, i) = 2.0 * (i + 1) * (d == 0) + det(3 * i + d);
+  Eigen::VectorXd T(N);
+  for (int i = 0; i < N; ++i) T(i) = 1.2 + 0.2 * (i % 3);
+  minco::MINCO_S3NU mc;
+  mc.setConditions(head, tail, N);
+  mc.setParameters(q, T);
+  const Eigen::MatrixX3d &coeffs = mc.getCoeffs();
+  double totalT = T.sum();
+
+  flatness::FlatnessMap fm;
+  fm.reset(0.61, 9.8, 0.10, 0.10, 0.01, 1.0e-4);
+
+  const double weightPos = 550.0, safety_hor = 2.0;
+  // quadratic body-SDF model (fixed, both sides)
+  Eigen::Vector3d g_lin(0.31, -0.22, 0.17);
+  Eigen::Matrix3d A;
+  A << 0.08, 0.02, -0.01,
+       0.02, 0.05, 0.015,
+      -0.01, 0.015, 0.06;
+  const double s0 = 0.05;
+
+  // K obstacle points with t* spread across ALL pieces (incl. interior),
+  // none at a piece boundary
+  const int K = 8;
+  double fracs[K] = {0.06, 0.18, 0.33, 0.41, 0.55, 0.68, 0.81, 0.94};
+  std::vector<double> pts(3 * K), tstars(K), sdfs(K), prels(3 * K);
+  double cost = 0.0;
+  Eigen::MatrixX3d gradC = Eigen::MatrixX3d::Zero(6 * N, 3);
+  Eigen::VectorXd gradT = Eigen::VectorXd::Zero(N);
+
+  for (int kpt = 0; kpt < K; ++kpt) {
+    Eigen::Vector3d pos_eva;
+    for (int d = 0; d < 3; ++d) {
+      pos_eva(d) = 4.0 + 3.5 * det(100 + 3 * kpt + d);
+      pts[3 * kpt + d] = pos_eva(d);
+    }
+    double t_star = fracs[kpt] * totalT;
+    tstars[kpt] = t_star;
+    // locate piece (ref Trajectory::locatePieceIdx semantics)
+    int i = 0;
+    double s1 = t_star;
+    while (i < N - 1 && s1 > T(i)) { s1 -= T(i); ++i; }
+
+    const Eigen::Matrix<double, 6, 3> &c = coeffs.block<6, 3>(i * 6, 0);
+    double s2 = s1 * s1, s3 = s2 * s1, s4 = s2 * s2, s5 = s4 * s1;
+    Eigen::Matrix<double, 6, 1> beta0, beta1, beta2, beta3, beta4;
+    beta0 << 1.0, s1, s2, s3, s4, s5;
+    beta1 << 0.0, 1.0, 2.0 * s1, 3.0 * s2, 4.0 * s3, 5.0 * s4;
+    beta2 << 0.0, 0.0, 2.0, 6.0 * s1, 12.0 * s2, 20.0 * s3;
+    beta3 << 0.0, 0.0, 0.0, 6.0, 24.0 * s1, 60.0 * s2;
+    beta4 << 0.0, 0.0, 0.0, 0.0, 24.0, 120.0 * s1;
+    Eigen::Vector3d pos = c.transpose() * beta0;
+    Eigen::Vector3d vel = c.transpose() * beta1;
+    Eigen::Vector3d acc = c.transpose() * beta2;
+    Eigen::Vector3d jer = c.transpose() * beta3;
+    Eigen::Vector3d sna = c.transpose() * beta4;
+
+    Eigen::Vector4d quat;
+    fm.optimizated_forward(vel, acc, jer, quat);
+    Eigen::Matrix3d rotate =
+        Eigen::Quaterniond(quat(0), quat(1), quat(2), quat(3))
+            .toRotationMatrix();
+
+    Eigen::Vector3d p_rel = rotate.transpose() * (pos_eva - pos);
+    Eigen::Vector3d gradp_rel = g_lin + A * p_rel;
+    double sdf_value =
+        s0 + g_lin.dot(p_rel) + 0.5 * p_rel.dot(A * p_rel);
+    sdfs[kpt] = sdf_value;
+    for (int d = 0; d < 3; ++d) prels[3 * kpt + d] = p_rel(d);
+
+    // grad_cost_p_sw (hpp:827): pos/quat adjoints of the penalty
+    double sdf_cost = 0.0, sdf_out_grad = 0.0;
+    Eigen::Vector3d gradPos = Eigen::Vector3d::Zero();
+    Eigen::Vector4d gradQuat = Eigen::Vector4d::Zero();
+    double pena = 0.0;
+    if (refSmoothedL1(safety_hor - sdf_value, 0.01, sdf_cost,
+                      sdf_out_grad)) {
+      Eigen::Vector3d p_minus_x = pos_eva - pos;
+      Eigen::Vector4d step_gradq;
+      // ∂(Rᵀ)/∂q_k by central difference of the quadratic quat→R map
+      for (int kq = 0; kq < 4; ++kq) {
+        const double h = 1e-3;
+        Eigen::Vector4d qp = quat, qm = quat;
+        qp(kq) += h; qm(kq) -= h;
+        Eigen::Matrix3d Rp =
+            Eigen::Quaterniond(qp(0), qp(1), qp(2), qp(3))
+                .toRotationMatrix();
+        Eigen::Matrix3d Rm =
+            Eigen::Quaterniond(qm(0), qm(1), qm(2), qm(3))
+                .toRotationMatrix();
+        Eigen::Matrix3d Dk = (Rp.transpose() - Rm.transpose()) / (2.0 * h);
+        step_gradq(kq) = gradp_rel.transpose() * Dk * p_minus_x;
+      }
+      gradPos += weightPos * (sdf_out_grad * rotate * gradp_rel);
+      gradQuat += weightPos * (-sdf_out_grad * step_gradq);
+      pena += weightPos * sdf_cost;
+    }
+    Eigen::Vector3d gradVel = Eigen::Vector3d::Zero();
+    Eigen::Vector3d gradOmg = Eigen::Vector3d::Zero();
+    Eigen::Vector3d gradPosTotal = Eigen::Vector3d::Zero();
+    Eigen::Vector3d gradVelTotal = Eigen::Vector3d::Zero();
+    Eigen::Vector3d gradAccTotal = Eigen::Vector3d::Zero();
+    Eigen::Vector3d gradJerTotal = Eigen::Vector3d::Zero();
+    fm.backwardthreadsafe(vel, acc, jer, gradPos, gradVel, gradQuat,
+                          gradOmg, gradPosTotal, gradVelTotal,
+                          gradAccTotal, gradJerTotal);
+    Eigen::Matrix<double, 6, 3> gdC =
+        beta0 * gradPosTotal.transpose() + beta1 * gradVelTotal.transpose() +
+        beta2 * gradAccTotal.transpose() + beta3 * gradJerTotal.transpose();
+    double gdT = -gradPosTotal.dot(vel) - gradVelTotal.dot(acc) -
+                 gradAccTotal.dot(jer) - gradJerTotal.dot(sna);
+    cost += pena;
+    gradC.block<6, 3>(i * 6, 0) += gdC;
+    for (int j = 0; j < i; ++j) gradT(j) += gdT;
+  }
+
+  beginObj("backend_swept");
+  writeScalar("N", N);
+  writeScalar("weight_p", weightPos);
+  writeScalar("safety_hor", safety_hor);
+  writeScalar("s0", s0);
+  writeArray("g_lin", g_lin.data(), 3);
+  writeMat("A", A);
+  writeMat("T", T);
+  writeMat("coeffs", coeffs);
+  writeArray("points", pts.data(), 3 * K);
+  writeArray("tstars", tstars.data(), K);
+  writeArray("sdf_values", sdfs.data(), K);
+  writeArray("p_rels", prels.data(), 3 * K);
+  writeScalar("cost", cost);
+  writeMat("grad_coeffs", gradC);
+  writeMat("grad_times", gradT);
+  endObj();
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -581,6 +738,7 @@ int main(int argc, char **argv) {
   dumpLbfgs();
   dumpMidEnd();
   dumpBackendIntegral();
+  dumpBackendSwept();
   std::fprintf(out, "}\n");
   std::fclose(out);
   std::fprintf(stderr, "golden written to %s\n", path);

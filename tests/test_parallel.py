@@ -78,6 +78,38 @@ class TestChunkedSolve:
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-8,
                                    atol=1e-10)
 
+    def test_audited_solve_fixes_aliased_violation(self, conf):
+        """batched_solve_audited (the batched safety-audit twin of
+        PlannerManager.plan step 6) must catch and fix a violation the
+        solve-time sweep aliases over: the solve scans coarse_n=8 time
+        samples, so a point whose SDF dip is narrow in time can be missed;
+        the audit scans at 512 and seeds the re-solve's t* warm starts."""
+        shape = make_shape("Ball", conf)
+        sb = pb.make_random_batch(conf, B=4, N=3, n_points=16,
+                                  dtype=jnp.float64)
+        # place one obstacle point per scenario directly ON the straight
+        # line mid-route — guaranteed violating at iteration 0 — and mask
+        # off random points near the endpoints: head/tail are hard
+        # constraints, so a point AT the goal is unfixable by any solver
+        # (the real pipeline snaps goals to free space before solving,
+        # plan/manager.py ESDF goal snapping)
+        pts = np.asarray(sb.points).copy()
+        goals = np.asarray(sb.tail)[:, :, 0]
+        pts[:, 0, :] = 0.55 * goals
+        d_goal = np.linalg.norm(pts - goals[:, None, :], axis=-1)
+        d_start = np.linalg.norm(pts, axis=-1)
+        mask = np.asarray(sb.mask) & (d_goal > 1.2) & (d_start > 1.2)
+        sb = sb._replace(points=jnp.asarray(pts), mask=jnp.asarray(mask))
+        c, T, f, i, audit = pb.batched_solve_audited(
+            shape, conf, sb, max_iters=12, chunk=4, audit_coarse_n=512)
+        assert np.isfinite(np.asarray(f)).all()
+        assert len(audit["violations_per_round"]) >= 1
+        # final audit must certify clearance (margin 0) for every scenario
+        assert (audit["min_sdf"] > 0.0).all(), audit
+        # and the audit loop must actually have re-solved at least once OR
+        # found the first solve clean
+        assert audit["violations_per_round"][-1] == 0, audit
+
     def test_minimize_chunked_rosenbrock(self):
         from isdf_tpu.opt import lbfgs
 

@@ -240,6 +240,66 @@ class TestBackendIntegralParity:
             rtol=1e-6, atol=1e-8)
 
 
+class TestBackendSweptParity:
+    """Swept-SDF safety penalty at frozen t* vs the reference's hand-chained
+    adjoints (back_end_optimizer.hpp:557-649 + grad_cost_p_sw hpp:827-866,
+    incl. the gradT(j<i) accumulation — SURVEY §7.3-5's "easy to get subtly
+    wrong" item).  The body SDF is a shared closed-form quadratic model so
+    the piece under test is the gradient CHAIN (quat → R → p_rel → adjoints),
+    not the argmin search (covered by the sweep/fused-kernel tests).  The
+    replay goes through the production frozen-t* evaluation path
+    (sweep_sdf.sdf_at_time + smoothed_l1, exactly what opt/backend.py's
+    swept_penalty differentiates after the envelope-theorem stop-gradient)."""
+
+    def test_value_and_gradients(self, golden):
+        from isdf_tpu.core.smoothing import smoothed_l1
+        from isdf_tpu.sweep.sweep_sdf import sdf_at_time
+
+        g = golden["backend_swept"]
+        N = int(g["N"])
+        T = jnp.asarray(np.asarray(g["T"]))
+        coeffs = jnp.asarray(np.reshape(g["coeffs"], (N, 6, 3)))
+        points = jnp.asarray(np.reshape(g["points"], (-1, 3)))
+        tstars = jnp.asarray(np.asarray(g["tstars"]))
+        A = jnp.asarray(np.reshape(g["A"], (3, 3)))
+        g_lin = jnp.asarray(np.asarray(g["g_lin"]))
+        s0 = float(g["s0"])
+        w_p = float(g["weight_p"])
+        safety_hor = float(g["safety_hor"])
+        params = fl.FlatParams()  # dump uses the same reset() constants
+
+        class QuadShape:
+            """sdf(p_rel) = s0 + g·p_rel + ½ p_relᵀA p_rel (closed form)."""
+
+            @staticmethod
+            def sdf(p_rel):
+                lin = jnp.einsum("...i,i->...", p_rel, g_lin)
+                quad = 0.5 * jnp.einsum("...i,ij,...j->...", p_rel, A, p_rel)
+                return s0 + lin + quad
+
+        qshape = QuadShape()
+
+        # cross-check the dump's own sdf values first (input consistency)
+        def pen(coeffs, T):
+            traj = PolyTraj(T, coeffs)
+            sdf = sdf_at_time(qshape, traj, params, points, tstars)
+            return jnp.sum(w_p * smoothed_l1(safety_hor - sdf, 0.01)), sdf
+
+        (val, sdf) = pen(coeffs, T)
+        np.testing.assert_allclose(np.asarray(sdf), np.asarray(g["sdf_values"]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(float(val), g["cost"], rtol=1e-8)
+
+        (gc, gt) = jax.grad(lambda c, T: pen(c, T)[0], argnums=(0, 1))(
+            coeffs, T)
+        np.testing.assert_allclose(
+            np.asarray(gc), np.reshape(g["grad_coeffs"], (N, 6, 3)),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(g["grad_times"]),
+            rtol=1e-6, atol=1e-8)
+
+
 class TestMidEndParity:
     """Trajectory-level golden: the reference's full OriTraj mid-end solve
     (minco + cubic waypoint attraction + its own LBFGS; gradT quirk

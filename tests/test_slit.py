@@ -135,15 +135,15 @@ class TestSlitAttitudeChain:
             f"without={tilt_off}"
         )
 
-    def test_full_pipeline_near_feasible(self, slit_pm):
+    def test_full_pipeline_collision_free(self, slit_pm):
         res = slit_pm.plan(
             np.array([2.0, 4.0, 4.0]), np.array([8.0, 4.0, 4.0]),
             max_iters=150,
         )
         assert res.success
-        # voxel-center-measured swept SDF; one-quarter-voxel tolerance
-        # (this slit is near the voxel-quantization feasibility floor; the
-        # back end may trade tilt for center offset, which is legitimate by
-        # this metric — the attitude-chain evidence is the two tests above)
+        # strictly collision-free by the voxel-center swept-SDF audit —
+        # the needle's-eye case is the very scenario the SE(3) machinery
+        # exists for, and the reference's stub here (sw_manager.hpp:764-767)
+        # sets the bar we must beat (VERDICT r3 #7)
         min_sdf = slit_pm.audit_collision(res.traj)
-        assert min_sdf > -0.07, f"deep collision: {min_sdf}"
+        assert min_sdf > 0.0, f"collision: {min_sdf}"
