@@ -69,24 +69,14 @@ def _batched_sdf_table(shape, p_eva, xs, Rs):
 
 # The Pallas coarse-scan kernel maps the whole padded field into VMEM per
 # block; a field larger than this budget would fail to compile.  ~16 MiB
-# VMEM per TPU core, minus block/intermediate headroom.
+# VMEM per TPU core, minus block/intermediate headroom.  The kernels hold
+# the field in bf16 (cast once at rest), so the budget is counted in bf16
+# bytes — half the f32 host-side nbytes.
 _PALLAS_FIELD_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _pallas_auto(shape) -> bool:
-    """Production dispatch: the gather-free Pallas kernel wins for
-    grid-backed (mesh) shapes on TPU, where XLA's trilinear-gather path
-    scalarizes; analytic shapes stay on the XLA einsum table, which fuses
-    their elementwise SDF into the pose chain (measured: see
-    BASELINE.md "Pallas vs XLA sweep coarse scan").  Fields too large for
-    VMEM fall back to the XLA gather path rather than failing to compile."""
-    import jax as _jax
-
-    return (
-        shape.grid is not None
-        and shape.grid.field2d.nbytes <= _PALLAS_FIELD_VMEM_BUDGET
-        and _jax.default_backend() == "tpu"
-    )
+def _field_vmem_bytes(shape) -> int:
+    return shape.grid.field2d.nbytes // 2    # bf16 in-kernel
 
 
 def _coarse_table_T(shape, p_eva, xs, Rs):
@@ -105,14 +95,12 @@ def _coarse_table_T(shape, p_eva, xs, Rs):
 
 
 def _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas):
-    """argmin-t seed of the coarse scan → (t0 (P,), dmin (P,))."""
-    if use_pallas is None:
-        use_pallas = _pallas_auto(shape)
-    if use_pallas and shape.grid is not None:
-        from isdf_tpu.sweep.pallas_grid import grid_coarse_scan
+    """argmin-t seed of the coarse scan → (t0 (P,), dmin (P,)).
 
-        dmin, j = grid_coarse_scan(shape.grid, p_eva, xs, Rs)
-        return ts[j], dmin
+    Always the XLA table path: grid shapes on TPU dispatch to the fully
+    fused kernel (pallas_grid_zoom.grid_sweep_warm_fused) before reaching
+    here, so this seed only runs on CPU / for oversized fields / for
+    non-8-multiple coarse_n — where the gather table is the safe choice."""
     table = _coarse_table_T(shape, p_eva, xs, Rs)      # (T, P)
     j = jnp.argmin(table, axis=0)
     return ts[j], jnp.min(table, axis=0)
@@ -213,14 +201,14 @@ def _fused_ok(shape, params, use_pallas) -> bool:
     if use_pallas is False:
         return False
     try:
-        import jax as _jax
-
         from isdf_tpu.sweep.pallas_zoom import zoom_available
-
-        return isinstance(params, (fl.FlatParams, fl.PlanarPose)) and \
-            zoom_available(shape, params)
-    except Exception:
+    except ImportError:
+        # the intended "Pallas unavailable on this install" case only — a
+        # real regression in pallas_zoom must surface, not silently
+        # downgrade every TPU sweep to the ~9x-slower XLA path
         return False
+    return isinstance(params, (fl.FlatParams, fl.PlanarPose)) and \
+        zoom_available(shape, params)
 
 
 def _grid_fused_ok(shape, params, use_pallas) -> bool:
@@ -233,32 +221,49 @@ def _grid_fused_ok(shape, params, use_pallas) -> bool:
 
     return (
         shape.grid is not None
-        and shape.grid.field2d.nbytes <= _PALLAS_FIELD_VMEM_BUDGET
+        and _field_vmem_bytes(shape) <= _PALLAS_FIELD_VMEM_BUDGET
         and isinstance(params, (fl.FlatParams, fl.PlanarPose))
         and _jax.default_backend() == "tpu"
     )
 
 
-def _grid_zoom2(shape, traj, params, p_eva, seeds_a, w_a, seeds_b, w_b,
-                rounds):
-    """Both zoom refinements for a grid shape in ONE kernel launch (2P
-    stacked — blocks are independent)."""
-    from isdf_tpu.sweep.pallas_grid_zoom import (
-        grid_zoom_refine, grid_zoom_inputs)
+def _grid_sweep_fused(shape, traj, params, p_eva, t_warm, coarse_n,
+                      refine_rounds, warm_window):
+    """Fully-fused grid warm sweep (pallas_grid_zoom.grid_sweep_warm_fused):
+    ONE launch for coarse scan + both zooms + in-kernel epilogue value/grad.
 
-    P = p_eva.shape[0]
-    dims, fieldT, geo = grid_zoom_inputs(shape.grid)
+    The differentiable penalty value is the LINEARIZATION of the body SDF
+    at the epilogue point — sdf(p_rel) ≈ d* + g*·(p_rel − p_rel*) with
+    (d*, g*) kernel constants and p_rel(traj, p, t*) the differentiable
+    pose chain.  This is EXACTLY how the reference consumes the sweep
+    (sdf_value + gradp_rel pairs chained by hand, back_end_optimizer.hpp:
+    619-627 + grad_cost_p_sw) — and since trilinear interpolation is
+    piecewise-multilinear, g* IS its true gradient at the point, so the
+    first-order semantics match autodiff of the interpolation while
+    touching the voxel field zero times outside the kernel."""
+    from isdf_tpu.sweep.fast_eval import (
+        pvaj_components, pose_components, rel_components)
+    from isdf_tpu.sweep.pallas_grid_zoom import (
+        grid_sweep_warm_fused, grid_sweep_inputs)
+
+    dims, dims_c, fieldZ, fieldZc, geo = grid_sweep_inputs(shape.grid)
     durs = traj.durations
     starts = jnp.cumsum(durs) - durs
-    pts2 = jnp.concatenate([p_eva, p_eva], axis=0)
-    seeds = jnp.concatenate([seeds_a, seeds_b])
-    w0 = jnp.concatenate([
-        jnp.broadcast_to(jnp.asarray(w_a, seeds.dtype), (P,)),
-        jnp.broadcast_to(jnp.asarray(w_b, seeds.dtype), (P,)),
-    ])
-    t2, d2 = grid_zoom_refine(dims, params, fieldT, geo, pts2, seeds, w0,
-                              starts, durs, traj.coeffs, rounds=rounds)
-    return t2[:P], d2[:P], t2[P:], d2[P:]
+    t_star, d_star, grad_prel = grid_sweep_warm_fused(
+        dims, dims_c, params, fieldZ, fieldZc, geo, p_eva, t_warm,
+        starts, durs, traj.coeffs, coarse_n=coarse_n, rounds=refine_rounds,
+        warm_window=warm_window)
+    t_star = jax.lax.stop_gradient(t_star)
+    pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+    pos, vel, acc, _ = pvaj_components(traj, t_star, n_orders=3)
+    x3, R = pose_components(pos, vel, acc, params)
+    rx, ry, rz = rel_components(pw, x3, R)
+    d0 = jax.lax.stop_gradient(d_star)
+    g0 = jax.lax.stop_gradient(grad_prel)
+    r0 = tuple(jax.lax.stop_gradient(r) for r in (rx, ry, rz))
+    sdf_star = (d0 + g0[:, 0] * (rx - r0[0]) + g0[:, 1] * (ry - r0[1])
+                + g0[:, 2] * (rz - r0[2]))
+    return sdf_star, t_star, grad_prel
 
 
 def _sweep_fused(shape, traj, params, p_eva, t_warm, coarse_n, refine_rounds,
@@ -309,28 +314,26 @@ def sweep_sdf(
             shape, traj, params, p_eva, jnp.zeros(p_eva.shape[:1],
                                                   p_eva.dtype),
             coarse_n, refine_rounds, 0.3)
+    if _grid_fused_ok(shape, params, use_pallas) and coarse_n % 8 == 0:
+        # cold path (audits, first solve iteration): the fused kernel
+        # supplies t*; the VALUE is re-evaluated f32 through the XLA
+        # interpolation — audits must not carry the kernel's bf16 field
+        # quantization (PlannerManager._audit_sdf margins are millimetres)
+        from isdf_tpu.sweep.fast_eval import sdf_at_time_c
+
+        t_star, _, _ = _grid_sweep_fused(
+            shape, traj, params, p_eva,
+            jnp.zeros(p_eva.shape[:1], p_eva.dtype),
+            coarse_n, refine_rounds, 0.3)
+        pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
+        sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
+        grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
+        return sdf_star, t_star, grad_prel
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
     t0, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
     w0 = total / (coarse_n - 1)
-    if _grid_fused_ok(shape, params, use_pallas):
-        from isdf_tpu.sweep.fast_eval import sdf_at_time_c
-        from isdf_tpu.sweep.pallas_grid_zoom import (
-            grid_zoom_refine, grid_zoom_inputs)
-
-        dims, fieldT, geo = grid_zoom_inputs(shape.grid)
-        durs = traj.durations
-        starts = jnp.cumsum(durs) - durs
-        w0v = jnp.broadcast_to(jnp.asarray(w0, t0.dtype), t0.shape)
-        t_star, _ = grid_zoom_refine(
-            dims, params, fieldT, geo, p_eva, t0, w0v, starts, durs,
-            traj.coeffs, rounds=refine_rounds)
-        t_star = jax.lax.stop_gradient(t_star)
-        pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
-        sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
-        grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
-        return sdf_star, t_star, grad_prel
     t_star, sdf_star = _zoom(shape, traj, params, p_eva, t0, w0, refine_rounds)
     t_star = jax.lax.stop_gradient(t_star)
     grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
@@ -365,23 +368,13 @@ def sweep_sdf_warm(
     if _fused_ok(shape, params, use_pallas) and coarse_n % 8 == 0:
         return _sweep_fused(shape, traj, params, p_eva, t_warm,
                             coarse_n, refine_rounds, warm_window)
+    if _grid_fused_ok(shape, params, use_pallas) and coarse_n % 8 == 0:
+        return _grid_sweep_fused(shape, traj, params, p_eva, t_warm,
+                                 coarse_n, refine_rounds, warm_window)
     total = traj.total_duration
     ts = jnp.linspace(0.0, total, coarse_n)
     xs, Rs = traj_states(traj, params, ts)
     t0_coarse, _ = _coarse_seed(shape, p_eva, xs, Rs, ts, use_pallas)
-
-    if _grid_fused_ok(shape, params, use_pallas):
-        from isdf_tpu.sweep.fast_eval import sdf_at_time_c
-
-        tA, dA, tB, dB = _grid_zoom2(
-            shape, traj, params, p_eva, jnp.clip(t_warm, 0.0, total),
-            warm_window, t0_coarse, total / (coarse_n - 1), refine_rounds)
-        use_a = dA <= dB
-        t_star = jax.lax.stop_gradient(jnp.where(use_a, tA, tB))
-        pw = (p_eva[:, 0], p_eva[:, 1], p_eva[:, 2])
-        sdf_star = sdf_at_time_c(shape, traj, params, pw, t_star)
-        grad_prel = _grad_prel(shape, traj, params, p_eva, t_star)
-        return sdf_star, t_star, grad_prel
 
     tA, dA = _zoom(shape, traj, params, p_eva,
                    jnp.clip(t_warm, 0.0, total), warm_window, refine_rounds)
