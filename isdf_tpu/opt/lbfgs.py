@@ -18,7 +18,7 @@ cost_and_grad signature:  (x, aux) -> (f, g, new_aux).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -129,12 +129,21 @@ def _line_search(cost_and_grad, x, f0, g0, d, aux, max_ls, c1=1e-4, c2=0.9,
         ok_new = armijo & curv
         hi_new = jnp.where(armijo, hi, step)
         lo_new = jnp.where(armijo & ~curv, step, lo)
+        # safeguarded quadratic interpolation on Armijo failure (the
+        # reference's LLS/QINT, lmbm_sub.f:2535-2608 / lbfgs.hpp): fit
+        # φ(t) ≈ f0 + dg0·t + a·t², minimize, clamp into the bracket —
+        # measurably fewer trials than plain bisection on stiff penalties
+        denom = ft - f0 - dg0 * step
+        t_q = -dg0 * step * step / (2.0 * jnp.maximum(denom, 1e-30))
+        mid = jnp.clip(t_q, lo_new + 0.1 * (hi_new - lo_new),
+                       lo_new + 0.9 * (hi_new - lo_new))
+        mid = jnp.where(jnp.isfinite(mid), mid, 0.5 * (lo_new + hi_new))
         step_new = jnp.where(
             ok_new,
             step,
             jnp.where(
                 jnp.isfinite(hi_new),
-                0.5 * (lo_new + hi_new),
+                mid,
                 2.0 * jnp.maximum(step, lo_new),
             ),
         )
@@ -284,6 +293,180 @@ def minimize(
     st = jax.lax.while_loop(cond, body, st)
     return LBFGSResult(
         x=st.x, f=st.f, g=st.g, n_iters=st.it, n_evals=st.evals,
+        converged=st.done, aux=st.aux, history=st.trace, state=st,
+    )
+
+
+class _LockState(NamedTuple):
+    x: jax.Array
+    f: jax.Array           # baseline f at x (under aux)
+    g: jax.Array           # baseline gradient at x
+    aux: Any
+    d: jax.Array           # current search direction
+    step: jax.Array        # next trial step
+    ls_k: jax.Array        # trials taken in the current search
+    S: jax.Array
+    Y: jax.Array
+    rho: jax.Array
+    n_corr: jax.Array
+    head: jax.Array
+    it: jax.Array          # loop iterations
+    n_accept: jax.Array    # accepted (serious) steps
+    evals: jax.Array
+    done: jax.Array
+    fpast: jax.Array
+    trace: jax.Array
+
+
+def minimize_lockstep(
+    cost_and_grad: Callable,
+    x0,
+    aux0=None,
+    m: int = 16,
+    max_iters: int = 300,
+    g_epsilon: float = 1e-6,
+    past: int = 10,
+    rel_cost_tol: float = 1e-8,
+    max_ls: int = 24,
+    max_loop: Optional[int] = None,
+    resume_state: "_LockState" = None,
+    trace_len: int = None,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+) -> LBFGSResult:
+    """L-BFGS with the line search SPREAD ACROSS lockstep iterations —
+    the batched-solve scheduling of :func:`minimize`.
+
+    Under ``jax.vmap``, a nested line-search ``while_loop`` runs the
+    BATCH-MAX trial count every outer iteration (vmap of while = union of
+    iterations with masking), so one hard scenario inflates every
+    scenario's eval count — measured ~20 evals/iteration at B=128 vs ~2.5
+    for the median scenario (round-4 probe).  This variant fixes the
+    program shape at exactly TWO cost evaluations per loop iteration:
+
+      slot 1: baseline refresh at (x, aux) — keeps the consistent
+              per-iteration baseline of minimize()'s quality-first default
+              (aux/t* drift never accumulates);
+      slot 2: ONE weak-Wolfe trial at x + step·d; accept ⇒ push pair +
+              new direction next iteration; reject ⇒ halve step and retry
+              on the NEXT lockstep iteration.
+
+    max_iters counts ACCEPTED steps (comparable to minimize()); the loop
+    itself is bounded by max_loop (default 2·max_iters + 8).  Semantics
+    match minimize() up to trial scheduling — endpoints agree to solver
+    tolerance, not bitwise.
+    """
+    n = x0.shape[0]
+    dtype = x0.dtype
+    if max_loop is None:
+        max_loop = 2 * max_iters + 8
+    if trace_len is None:
+        trace_len = max_loop
+    trace = jnp.full((trace_len,), jnp.nan, dtype)
+
+    if resume_state is not None:
+        st = resume_state._replace(trace=trace)
+        accept_end = st.n_accept + max_iters
+        loop_end = st.it + max_loop
+    else:
+        f0, g0, aux1 = cost_and_grad(x0, aux0)
+        fpast = jnp.full((past,), jnp.inf, dtype).at[0].set(f0)
+        d0 = -g0
+        step0 = (1.0 / jnp.maximum(jnp.linalg.norm(d0), 1.0)).astype(dtype)
+        st = _LockState(
+            x=x0, f=f0, g=g0, aux=aux1, d=d0,
+            step=step0,
+            ls_k=jnp.asarray(0, jnp.int32),
+            S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
+            rho=jnp.zeros((m,), dtype),
+            n_corr=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
+            n_accept=jnp.asarray(0, jnp.int32),
+            evals=jnp.asarray(1, jnp.int32),
+            done=jnp.asarray(False), fpast=fpast, trace=trace,
+        )
+        accept_end = max_iters
+        loop_end = max_loop
+
+    def cond(st: _LockState):
+        return (~st.done) & (st.it < loop_end) & (st.n_accept < accept_end)
+
+    def body(st: _LockState):
+        # slot 1: baseline refresh (fresh-search iterations consume it; a
+        # mid-search iteration keeps its stored baseline so every trial of
+        # one search tests the SAME objective)
+        f_re, g_re, _ = cost_and_grad(st.x, st.aux)
+        fresh = st.ls_k == 0
+        f0 = jnp.where(fresh, f_re, st.f)
+        g0 = jax.tree.map(lambda a, b: jnp.where(fresh, a, b), g_re, st.g)
+
+        # direction: recompute on fresh searches only
+        d_new = -_two_loop(g0, st.S, st.Y, st.rho, st.n_corr, st.head, m)
+        dg_new = jnp.dot(d_new, g0)
+        d_new = jnp.where(dg_new < 0, d_new, -g0)
+        dnorm = jnp.linalg.norm(d_new)
+        step_new = jnp.where(
+            st.n_corr > 0, 1.0, 1.0 / jnp.maximum(dnorm, 1.0)
+        ).astype(dtype)
+        d = jnp.where(fresh, d_new, st.d)
+        step = jnp.where(fresh, step_new, st.step)
+        dg0 = jnp.dot(d, g0)
+
+        # slot 2: one weak-Wolfe trial
+        xt = st.x + step * d
+        ft, gt, auxt = cost_and_grad(xt, st.aux)
+        armijo = ft <= f0 + c1 * step * dg0
+        curv = jnp.dot(gt, d) >= c2 * dg0
+        ok = armijo & curv
+        exhausted = (st.ls_k + 1 >= max_ls) & (~ok)
+        # on exhaustion keep the last trial anyway when it decreased f
+        # (minimize()'s behavior); else the search failed → done
+        salvage = exhausted & (ft < f0)
+        accept = ok | salvage
+        fail = exhausted & (~salvage)
+
+        s_vec = xt - st.x
+        y_vec = gt - g0
+        sy = jnp.dot(s_vec, y_vec)
+        good = accept & (sy > 1e-10 * jnp.linalg.norm(s_vec)
+                         * jnp.linalg.norm(y_vec))
+        S = jnp.where(good, st.S.at[st.head].set(s_vec), st.S)
+        Y = jnp.where(good, st.Y.at[st.head].set(y_vec), st.Y)
+        rho = jnp.where(good, st.rho.at[st.head].set(1.0 / sy), st.rho)
+        head = jnp.where(good, (st.head + 1) % m, st.head)
+        n_corr = jnp.where(good, jnp.minimum(st.n_corr + 1, m), st.n_corr)
+
+        x_new = jnp.where(accept, xt, st.x)
+        f_new = jnp.where(accept, ft, f0)
+        g_new = jax.tree.map(lambda a, b: jnp.where(accept, a, b), gt, g0)
+        aux_new = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), auxt, st.aux)
+        ls_k = jnp.where(accept, 0, st.ls_k + 1)
+        step = jnp.where(accept, step, 0.5 * step)
+        n_accept = st.n_accept + accept.astype(jnp.int32)
+
+        gnorm = jnp.linalg.norm(g_new) / jnp.maximum(
+            jnp.linalg.norm(x_new), 1.0)
+        conv_g = accept & (gnorm < g_epsilon)
+        f_old = st.fpast[st.n_accept % past]
+        conv_f = accept & (st.n_accept >= past) & (
+            (f_old - f_new) / jnp.maximum(jnp.abs(f_new), 1.0) < rel_cost_tol
+        )
+        done = conv_g | conv_f | fail
+        fpast = jnp.where(
+            accept, st.fpast.at[(st.n_accept + 1) % past].set(f_new),
+            st.fpast)
+        return _LockState(
+            x=x_new, f=f_new, g=g_new, aux=aux_new, d=d, step=step,
+            ls_k=ls_k, S=S, Y=Y, rho=rho, n_corr=n_corr, head=head,
+            it=st.it + 1, n_accept=n_accept, evals=st.evals + 2,
+            done=done, fpast=fpast,
+            trace=st.trace.at[st.it % st.trace.shape[0]].set(f_new),
+        )
+
+    st = jax.lax.while_loop(cond, body, st)
+    return LBFGSResult(
+        x=st.x, f=st.f, g=st.g, n_iters=st.n_accept, n_evals=st.evals,
         converged=st.done, aux=st.aux, history=st.trace, state=st,
     )
 

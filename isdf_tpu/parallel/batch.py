@@ -118,7 +118,7 @@ def batched_solve(shape, conf, batch: ScenarioBatch, max_iters: int = 50):
             refine_rounds=conf.sweep_refine_rounds,
         )
         t0 = jnp.zeros(points.shape[0], x0.dtype)
-        res = lbfgs.minimize(
+        res = lbfgs.minimize_lockstep(
             cg, x0, t0, m=conf.mem_size, max_iters=max_iters,
             g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol,
         )
@@ -142,10 +142,14 @@ def _chunk_one(shape, conf, chunk, head, tail, q0, T0, points, mask, t0,
         coarse_n=conf.sweep_coarse_samples,
         refine_rounds=conf.sweep_refine_rounds,
     )
-    return lbfgs.minimize(
+    # lockstep scheduling: under the scenario vmap a nested line-search
+    # while_loop would run the BATCH-MAX trial count every iteration (one
+    # hard scenario inflates everyone — measured ~20 evals/iter at B=128);
+    # minimize_lockstep fixes the program at 2 evals per lockstep iteration
+    return lbfgs.minimize_lockstep(
         cg, x0, t0, m=conf.mem_size, max_iters=chunk,
         g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol,
-        resume_state=state, trace_len=chunk,
+        resume_state=state, trace_len=2 * chunk + 8,
     )
 
 
