@@ -74,11 +74,15 @@ def fly_closed_loop(
     goal_tol: float = 0.8,
     max_iters: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
+    live_view=None,
 ) -> FlightLog:
     """Fly start → goal while obstacles move; replan every replan_dt.
 
     obstacle_controls(i, t, rng) → (acc, yaw_rate) per obstacle; defaults to
     random accelerations like the reference's keyboard/random driver.
+    live_view: optional viz.live_view.LiveFlightView — streams the map,
+    the latest plan, and the flown pose trail to the browser while flying
+    (the odom_visualization / rviz affordance).
     Returns a FlightLog with the continuous body-SDF audit.
     """
     rng = rng or np.random.default_rng(0)
@@ -108,6 +112,8 @@ def fly_closed_loop(
         )
         pm.set_map(gm, use_pose_kernels=pm.pose_kernels is not None
                    or pm.feasibility is not None)
+        if live_view is not None:
+            live_view.set_scene(points=pts, goal=goal)
 
         # 2. replan from the current commanded state
         t0 = time.perf_counter()
@@ -133,6 +139,18 @@ def fly_closed_loop(
         # continuous audit at a thinned set of ticks
         for k in range(0, n_cmd, max(n_cmd // 10, 1)):
             log.min_body_sdf.append(_min_body_sdf(pm, p_np[k], gm))
+        if live_view is not None:
+            ts_plan = np.linspace(0.0, float(res.traj.total_duration), 64)
+            plan_xyz = np.asarray(jax.vmap(res.traj.pos)(
+                jnp.asarray(ts_plan)))
+            live_view.set_plan(plan_xyz)
+            for k in range(0, n_cmd, max(n_cmd // 10, 1)):
+                live_view.update(
+                    t + (k + 1) / cmd_rate, p_np[k],
+                    speed=float(np.linalg.norm(v_np[k])),
+                    min_body_sdf=float(log.min_body_sdf[-1]),
+                    replan_wall_s=float(log.replan_wall_s[-1]),
+                )
         pos, vel, acc = p_np[-1].copy(), v_np[-1].copy(), a_np[-1].copy()
         t += replan_dt
 
