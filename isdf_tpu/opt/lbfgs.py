@@ -276,7 +276,9 @@ def minimize(
 
         gnorm = jnp.linalg.norm(g) / jnp.maximum(jnp.linalg.norm(x_new), 1.0)
         conv_g = gnorm < g_epsilon
-        f_old = st.fpast[st.it % past]
+        # read the slot about to be overwritten: its value was written `past`
+        # iterations ago (LBFGS++-style past-window test, not consecutive)
+        f_old = st.fpast[(st.it + 1) % past]
         conv_f = (st.it >= past) & (
             (f_old - f) / jnp.maximum(jnp.abs(f), 1.0) < rel_cost_tol
         )
@@ -442,13 +444,22 @@ def minimize_lockstep(
         aux_new = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), auxt, st.aux)
         ls_k = jnp.where(accept, 0, st.ls_k + 1)
-        step = jnp.where(accept, step, 0.5 * step)
+        # on reject, branch on WHICH condition failed: Armijo failure means
+        # the step is too long (halve); Armijo-pass/curvature-fail means the
+        # step is too SHORT — halving can never fix it (as step→0 the
+        # directional derivative tends to dg0 < c2·dg0), so grow instead,
+        # mirroring _line_search's bracket logic.
+        grow = armijo & (~curv)
+        step = jnp.where(
+            accept, step, jnp.where(grow, 2.0 * step, 0.5 * step))
         n_accept = st.n_accept + accept.astype(jnp.int32)
 
         gnorm = jnp.linalg.norm(g_new) / jnp.maximum(
             jnp.linalg.norm(x_new), 1.0)
         conv_g = accept & (gnorm < g_epsilon)
-        f_old = st.fpast[st.n_accept % past]
+        # read the slot the accept below would overwrite: written `past`
+        # accepts ago (same past-window convention as minimize())
+        f_old = st.fpast[(st.n_accept + 1) % past]
         conv_f = accept & (st.n_accept >= past) & (
             (f_old - f_new) / jnp.maximum(jnp.abs(f_new), 1.0) < rel_cost_tol
         )

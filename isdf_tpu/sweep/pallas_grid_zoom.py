@@ -377,7 +377,12 @@ def grid_sweep_warm_fused(grid_dims, grid_dims_c, params, fieldZ, fieldZc,
 
 # z-major field cache, keyed by the source array's identity (a ref to the
 # source is kept in the value so the id cannot be recycled)
+# Bounded LRU: each entry pins its source field (so id() keys can't be
+# recycled while cached) plus two z-major copies — an unbounded dict would
+# leak every field a long-lived process ever bakes.  Insertion-ordered
+# dict; hits are refreshed to the back, the front is evicted past the cap.
 _FIELDZ_CACHE = {}
+_FIELDZ_CACHE_MAX = 4
 
 
 def _zmajor_pad(f3):
@@ -403,6 +408,9 @@ def grid_sweep_inputs(pg):
 
     key = id(pg.field2d)
     hit = _FIELDZ_CACHE.get(key)
+    if hit is not None:
+        _FIELDZ_CACHE.pop(key)          # refresh LRU position
+        _FIELDZ_CACHE[key] = hit
     if hit is None:
         f3 = pg.field2d.reshape(-1, pg.nyp, pg.nzp)[:pg.nx, :pg.ny, :pg.nz]
         dims, fz = _zmajor_pad(np.asarray(f3))
@@ -418,6 +426,8 @@ def grid_sweep_inputs(pg):
         # boundary as an ordinary argument
         hit = (pg.field2d, dims, dims_c,
                fz.astype(ml_dtypes.bfloat16), fzc.astype(ml_dtypes.bfloat16))
+        while len(_FIELDZ_CACHE) >= _FIELDZ_CACHE_MAX:
+            _FIELDZ_CACHE.pop(next(iter(_FIELDZ_CACHE)))
         _FIELDZ_CACHE[key] = hit
     _, dims, dims_c, fieldZ, fieldZc = hit
     o = pg.origin

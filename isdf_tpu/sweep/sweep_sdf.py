@@ -76,7 +76,19 @@ _PALLAS_FIELD_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _field_vmem_bytes(shape) -> int:
-    return shape.grid.field2d.nbytes // 2    # bf16 in-kernel
+    """In-kernel VMEM for the fused grid-zoom kernel: the Z-MAJOR re-padded
+    bf16 field (nx→mult-of-16, ny→8, nz→8; see pallas_grid_zoom._zmajor_pad)
+    PLUS its 2×-min-pooled coarse twin, both resident per block.  Computed
+    from the actual padded shapes — field2d.nbytes//2 under-counted awkward
+    dims by up to ~2× and let oversized fields slip past the budget gate."""
+    pg = shape.grid
+    def _ru(v, m):
+        return -(-v // m) * m
+    def zbytes(nx, ny, nz):
+        return _ru(nz, 8) * _ru(nx, 16) * _ru(ny, 8) * 2   # bf16
+    fine = zbytes(pg.nx, pg.ny, pg.nz)
+    coarse = zbytes(-(-pg.nx // 2), -(-pg.ny // 2), -(-pg.nz // 2))
+    return fine + coarse
 
 
 def _coarse_table_T(shape, p_eva, xs, Rs):
