@@ -104,13 +104,20 @@ def main():
             for _ in range(3):
                 sdf, t_star, grad = fn(pts, t_star)
             jax.block_until_ready(sdf)
+    # median-of-3 repeats: single-shot timing let one tunnel hiccup become
+    # the round's official record (VERDICT r4 weak #1/#4)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        sdf, t_star, grad = fn(pts, t_star)
-    jax.block_until_ready(sdf)
-    dt = (time.perf_counter() - t0) / iters
+    sweep_dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sdf, t_star, grad = fn(pts, t_star)
+        jax.block_until_ready(sdf)
+        sweep_dts.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(sweep_dts))
     queries_per_s = P / dt
+    sweep_spread = [round(P / max(sweep_dts) / 1e6, 2),
+                    round(P / min(sweep_dts) / 1e6, 2)]
     evals_per_query = conf.sweep_coarse_samples + 8 * conf.sweep_refine_rounds + 2
     sdf_evals_per_s = queries_per_s * evals_per_query
 
@@ -133,20 +140,39 @@ def main():
     vpu_util = vpu_flops / VPU_PEAK_FLOPS
 
     # --- 2) batched plans/s scaling: B = 128 … 4096 --------------------------
+    # each B point is median-of-3 (first timed rep additionally preceded by
+    # a warm run): BENCH_r04 recorded a one-shot B=4096 collapse to 31% of
+    # B=128 that two same-day runs could not reproduce — a single timing is
+    # not a record (VERDICT r4 weak #1).  Peak host/device memory is logged
+    # so a memory-pressure cause would be visible in the artifact.
+    import resource
+
     n_pts, solve_iters, chunk = 512, 24, 8
-    scaling = {}
+    reps = 3
+    scaling, scaling_spread = {}, {}
     for B in (128, 512, 2048, 4096):
         sb = pb.make_random_batch(conf, B=B, N=4, n_points=n_pts, dtype=dtype)
         out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters,
                                        chunk=chunk)
         jax.block_until_ready(out[2])
-        t0 = time.perf_counter()
-        out = pb.batched_solve_chunked(shape, conf, sb, max_iters=solve_iters,
-                                       chunk=chunk)
-        jax.block_until_ready(out[2])
-        plan_dt = time.perf_counter() - t0
-        scaling[str(B)] = round(B / plan_dt, 2)
+        dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = pb.batched_solve_chunked(
+                shape, conf, sb, max_iters=solve_iters, chunk=chunk)
+            jax.block_until_ready(out[2])
+            dts.append(time.perf_counter() - t0)
+        scaling[str(B)] = round(B / float(np.median(dts)), 2)
+        scaling_spread[str(B)] = [round(B / max(dts), 2),
+                                  round(B / min(dts), 2)]
     plans_per_s = scaling["128"]
+    peak_host_rss_mb = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+    try:
+        _ms = dev.memory_stats() or {}
+        peak_dev_mb = round(_ms.get("peak_bytes_in_use", 0) / 1e6)
+    except Exception:
+        peak_dev_mb = -1
 
     # --- 2b) audited batched throughput: solve + high-res safety audit +
     # warm re-solve rounds (the quality class PlannerManager.plan ships —
@@ -230,6 +256,33 @@ def main():
     jax.block_until_ready(outs[-1])
     p50_pipelined_ms = round((time.perf_counter() - t0) / 10 * 1e3, 2)
 
+    # device-side p50: S solves SERIALIZED inside one program via lax.scan
+    # (scan bodies run in sequence on device), one host round-trip total —
+    # wall/S is the on-device solve time with the tunnel's completion-
+    # detection overhead amortized to nothing (VERDICT r4 next #4: the
+    # "23.3 ms device" claim must be a measured field, not prose)
+    S = 8
+    xs_dev = jnp.stack([x1] * S) + 1e-3 * jnp.arange(S, dtype=dtype)[:, None]
+    tws_dev = jnp.zeros((S, n_pts), dtype)
+
+    @jax.jit
+    def solve_scan(xs, tws):
+        def body(c, xt):
+            x, tw = xt
+            r = lbfgs.minimize(
+                cg1, x, tw, m=conf.mem_size, max_iters=solve_iters,
+                g_epsilon=1e-7, past=conf.past, rel_cost_tol=conf.relCostTol)
+            return c, r.x
+        return jax.lax.scan(body, jnp.zeros((), dtype), (xs, tws))[1]
+
+    jax.block_until_ready(solve_scan(xs_dev, tws_dev))
+    dev_lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve_scan(xs_dev, tws_dev))
+        dev_lats.append((time.perf_counter() - t0) / S)
+    p50_device_ms = round(float(np.median(dev_lats)) * 1e3, 2)
+
     # measured on this host by native/parity/ref_bench.cpp (see docstring)
     baseline_evals_per_s = 9.96e6
     ref_desktop_est = 1.0e8
@@ -244,12 +297,17 @@ def main():
         "flops_per_query": round(float(flops_query)),
         "vpu_tflops": round(vpu_flops / 1e12, 3),
         "vpu_util": round(float(vpu_util), 3),
+        "sweep_mqps_spread": sweep_spread,
         "plans_per_s_per_chip": plans_per_s,
         "plans_per_s_audited": plans_audited_per_s,
         "grid_queries_per_s": grid_queries_per_s,
         "plans_scaling": scaling,
+        "plans_scaling_spread": scaling_spread,
+        "peak_host_rss_mb": peak_host_rss_mb,
+        "peak_device_mb": peak_dev_mb,
         "p50_plan_latency_ms": round(p50_ms, 2),
         "plan_latency_pipelined_ms": p50_pipelined_ms,
+        "p50_device_ms": p50_device_ms,
         "plan_iters": solve_iters,
         "device": str(dev),
     }

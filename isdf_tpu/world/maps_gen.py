@@ -328,6 +328,152 @@ def mockamap(size=(40, 40, 15), res=0.5, seed=0, feature=6, fill=0.12):
     return (idx + 0.5) * res
 
 
+def _recursive_division(maze, xl, xh, yl, yh, rng):
+    """Recursive-division maze carving on an occupancy grid (the mockamap
+    maze2D generator, ref src/uav_simulator/mockamap/src/maps.cpp:180-498):
+    split the chamber with a cross wall through a random interior center,
+    open 3 of the 4 wall arms at random doors, re-open doors where the new
+    wall blocked an existing opening on the chamber boundary, recurse into
+    the four sub-chambers.  Degenerate chamber sizes (4-wide, 3-wide) get
+    the reference's single-wall / single-block treatments."""
+    if xl < xh - 3 and yl < yh - 3:
+        xm = int(rng.integers(xl + 1, xh))
+        ym = int(rng.integers(yl + 1, yh))
+        maze[xl:xh + 1, ym] = 1
+        maze[xm, yl:yh + 1] = 1
+        d1 = int(rng.integers(xl, xm))
+        d2 = int(rng.integers(xm + 1, xh + 1))
+        d3 = int(rng.integers(yl, ym))
+        d4 = int(rng.integers(ym + 1, yh + 1))
+        doors = [[(d1, ym), (d2, ym), (xm, d3)],
+                 [(d1, ym), (d2, ym), (xm, d4)],
+                 [(d2, ym), (xm, d3), (xm, d4)],
+                 [(d1, ym), (xm, d3), (xm, d4)]][int(rng.integers(4))]
+        for (di, dj) in doors:
+            maze[di, dj] = 0
+        # keep openings on the chamber boundary connected through the new
+        # cross wall (maps.cpp:275-307)
+        if yl - 1 >= 0 and maze[xm, yl - 1] == 0:
+            maze[xm, yl] = 0
+        if yh + 1 <= maze.shape[1] - 1 and maze[xm, yh + 1] == 0:
+            maze[xm, yh] = 0
+        if xl - 1 >= 0 and maze[xl - 1, ym] == 0:
+            maze[xl, ym] = 0
+        if xh + 1 <= maze.shape[0] - 1 and maze[xh + 1, ym] == 0:
+            maze[xh, ym] = 0
+        _recursive_division(maze, xl, xm - 1, yl, ym - 1, rng)
+        _recursive_division(maze, xm + 1, xh, yl, ym - 1, rng)
+        _recursive_division(maze, xl, xm - 1, ym + 1, yh, rng)
+        _recursive_division(maze, xm + 1, xh, ym + 1, yh, rng)
+    elif xl < xh - 2 and yl < yh - 2:
+        xm = int(rng.integers(xl + 1, xh))
+        ym = int(rng.integers(yl + 1, yh))
+        maze[xl:xh + 1, ym] = 1
+        maze[xm, yl:yh + 1] = 1
+        if yl - 1 >= 0 and maze[xm, yl - 1] == 0:
+            maze[xm, yl] = 0
+        if yh + 1 <= maze.shape[1] - 1 and maze[xm, yh + 1] == 0:
+            maze[xm, yh] = 0
+        if xl - 1 >= 0 and maze[xl - 1, ym] == 0:
+            maze[xl, ym] = 0
+        if xh + 1 <= maze.shape[0] - 1 and maze[xh + 1, ym] == 0:
+            maze[xh, ym] = 0
+        d1 = int(rng.integers(xl, xm))
+        d2 = int(rng.integers(xm + 1, xh + 1))
+        d3 = int(rng.integers(yl, ym))
+        d4 = int(rng.integers(ym + 1, yh + 1))
+        doors = [[(d1, ym), (d2, ym), (xm, d3)],
+                 [(d1, ym), (d2, ym), (xm, d4)],
+                 [(d2, ym), (xm, d3), (xm, d4)],
+                 [(d1, ym), (xm, d3), (xm, d4)]][int(rng.integers(4))]
+        for (di, dj) in doors:
+            maze[di, dj] = 0
+    elif xl < xh - 1 and yl < yh - 2:      # 3-wide chamber: single y wall
+        maze[xl + 1, yl:yh + 1] = 1
+        doors = 0
+        if yl - 1 >= 0 and maze[xl + 1, yl - 1] == 0:
+            maze[xl + 1, yl] = 0
+            doors += 1
+        if yh + 1 <= maze.shape[1] - 1 and maze[xl + 1, yh + 1] == 0:
+            maze[xl + 1, yh] = 0
+            doors += 1
+        if doors == 0:
+            maze[xl + 1, int(rng.integers(yl, yh + 1))] = 0
+    elif xl < xh - 2 and yl < yh - 1:      # transposed 3-wide chamber
+        maze[xl:xh + 1, yl + 1] = 1
+        doors = 0
+        if xl - 1 >= 0 and maze[xl - 1, yl + 1] == 0:
+            maze[xl, yl + 1] = 0
+            doors += 1
+        if xh + 1 <= maze.shape[0] - 1 and maze[xh + 1, yl + 1] == 0:
+            maze[xh, yl + 1] = 0
+            doors += 1
+        if doors == 0:
+            maze[int(rng.integers(xl, xh + 1)), yl + 1] = 0
+    elif xl < xh - 1 and yl < yh - 1:      # 3×3: single center block
+        maze[xl + 1, yl + 1] = 1
+
+
+def maze2d(size=(40, 40, 15), res=0.5, seed=0, road_width=1.0,
+           add_wall_x=True, add_wall_y=True):
+    """Recursive-division 2-D maze extruded to full height (mockamap type 3,
+    ref maps.cpp maze2D:604-676 + recursiveDivision:180-498).  Cells of
+    `road_width` metres; occupied cells become full-height voxel columns.
+    Returns occupied voxel centers (M, 3)."""
+    rng = np.random.default_rng(seed)
+    sx, sy, sz = size
+    mx = max(int(sx * res / road_width), 4)
+    my = max(int(sy * res / road_width), 4)
+    maze = np.zeros((mx, my), np.int8)
+    _recursive_division(maze, 0, mx - 1, 0, my - 1, rng)
+    if add_wall_x:
+        maze[:, 0] = 1
+        maze[:, -1] = 1
+    if add_wall_y:
+        maze[0, :] = 1
+        maze[-1, :] = 1
+    cells_per = max(int(round(road_width / res)), 1)
+    occ = np.kron(maze, np.ones((cells_per, cells_per), np.int8))
+    occ = occ[:sx, :sy]
+    ij = np.argwhere(occ > 0)
+    k = np.arange(sz)
+    pts = np.concatenate([
+        np.repeat(ij, sz, axis=0),
+        np.tile(k, ij.shape[0])[:, None],
+    ], axis=1)
+    return (pts + 0.5) * res
+
+
+def maze3d(size=(40, 40, 15), res=0.5, seed=0, num_nodes=10,
+           connectivity=0.5, road_rad=2):
+    """3-D Voronoi-wall maze (mockamap type 4, ref maps.cpp Maze3DGen:
+    779-893): random cores partition space; voxels near the bisector
+    surface between their two nearest cores become walls, except "holed
+    walls" (core-index pairs inside the connectivity band) which open a
+    corridor where the two-core distance sum stays near the straight-line
+    distance.  Vectorized over the whole grid.  Returns (M, 3) points."""
+    rng = np.random.default_rng(seed)
+    sx, sy, sz = size
+    cores = rng.uniform(0.0, 1.0, size=(num_nodes, 3)) * \
+        (np.array(size) * res) - np.array(size) * res / 2.0
+    ii = np.stack(np.meshgrid(np.arange(sx), np.arange(sy), np.arange(sz),
+                              indexing="ij"), axis=-1).reshape(-1, 3)
+    pts = ii * res - np.array(size) * res / 2.0
+    d = np.linalg.norm(pts[:, None, :] - cores[None, :, :], axis=-1)
+    order = np.argsort(d, axis=1)
+    i1, i2 = order[:, 0], order[:, 1]
+    d1 = np.take_along_axis(d, i1[:, None], axis=1)[:, 0]
+    d2 = np.take_along_axis(d, i2[:, None], axis=1)[:, 0]
+    on_wall = np.abs(d2 - d1) < res
+    pair_sum = i1 + i2
+    holed = (pair_sum > int((1 - connectivity) * num_nodes)) & \
+        (pair_sum < int((1 + connectivity) * num_nodes))
+    core_gap = np.linalg.norm(cores[i1] - cores[i2], axis=-1)
+    keep_hole = (d1 + d2 - core_gap) >= road_rad * res / 3.0
+    occupied = on_wall & (~holed | keep_hole)
+    return pts[occupied] + np.array(size) * res / 2.0
+
+
 # --- 2-D planar maps (for the paper's 2-D experiments; no reference
 # equivalent — the reference repo ships no 2-D code path) -------------------
 

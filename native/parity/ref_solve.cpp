@@ -34,9 +34,16 @@ namespace
         // OBJ set to the actual CappedCone (the shipped YAML points
         // CappedCone demos at RoundedCone.obj; the analytic-parity tests
         // on the Python side instantiate by shape name, so keep them equal).
+        // RoundedCone + the YAML's 120° X-tilt — the shape config_CappedCone
+        // .yaml actually loads.  NB CappedCone itself is unusable here: its
+        // reference SDF is the compressed sqrt(d)/|b-a|² metric
+        // (Shape.hpp:970-973), under which choiceTInit's inflated in-range
+        // window (2·safety_hor+0.1, sw_manager.hpp:382) never closes along
+        // the whole trajectory, so ranges never get pushed and the swept
+        // penalty is identically zero — measured, not speculation.
         conf.threads_num = 3;
-        conf.inputdata = "shapes/CappedCone.obj";
-        conf.poly_params = {0.0, 0.0, 0.0, 0.0, 0.0, 0.0};
+        conf.inputdata = "shapes/RoundedCone.obj";
+        conf.poly_params = {0.0, 0.0, 0.0, 120.0, 0.0, 0.0};
         conf.use_objfile_as_body = true;
         conf.selfmapresu = 0.05;
         conf.enable_sweptvolume = true;
@@ -114,12 +121,12 @@ namespace
         s.name = "gap";
         s.initS.setZero();
         s.finalS.setZero();
-        s.initS.col(0) = Eigen::Vector3d(-6.0, 0.0, 3.0);
-        s.finalS.col(0) = Eigen::Vector3d(6.0, 0.0, 3.0);
-        s.Q = {Eigen::Vector3d(-3.0, 0.0, 3.0), Eigen::Vector3d(0.0, 0.0, 3.0),
-               Eigen::Vector3d(3.0, 0.0, 3.0)};
+        s.initS.col(0) = Eigen::Vector3d(-8.0, 0.0, 5.0);
+        s.finalS.col(0) = Eigen::Vector3d(8.0, 0.0, 5.0);
+        s.Q = {Eigen::Vector3d(-4.0, 0.0, 5.0), Eigen::Vector3d(0.0, 0.0, 5.0),
+               Eigen::Vector3d(4.0, 0.0, 5.0)};
         s.tau = Eigen::VectorXd::Ones(4);  // forwardT(1) = 2.5 s per piece
-        addWall(s.points, 0.0, 0.0, 3.0, 3.0, -6.0, 6.0, 0.0, 8.0, 0.75);
+        addWall(s.points, 0.0, 0.0, 5.0, 4.0, -8.0, 8.0, 0.0, 11.0, 1.0);
         return s;
     }
 
@@ -129,13 +136,13 @@ namespace
         s.name = "slalom";
         s.initS.setZero();
         s.finalS.setZero();
-        s.initS.col(0) = Eigen::Vector3d(-7.0, -2.0, 2.5);
-        s.finalS.col(0) = Eigen::Vector3d(7.0, 2.0, 2.5);
-        s.Q = {Eigen::Vector3d(-3.5, -1.0, 2.5), Eigen::Vector3d(0.0, 0.0, 2.5),
-               Eigen::Vector3d(3.5, 1.0, 2.5)};
+        s.initS.col(0) = Eigen::Vector3d(-9.0, -2.5, 5.0);
+        s.finalS.col(0) = Eigen::Vector3d(9.0, 2.5, 5.0);
+        s.Q = {Eigen::Vector3d(-4.5, -1.2, 5.0), Eigen::Vector3d(0.0, 0.0, 5.0),
+               Eigen::Vector3d(4.5, 1.2, 5.0)};
         s.tau = Eigen::VectorXd::Ones(4);
-        addWall(s.points, -2.5, 2.0, 2.5, 3.2, -5.0, 5.0, 0.0, 6.0, 0.8);
-        addWall(s.points, 2.5, -2.0, 2.5, 3.2, -5.0, 5.0, 0.0, 6.0, 0.8);
+        addWall(s.points, -3.0, 2.5, 5.0, 4.2, -7.0, 7.0, 0.0, 10.0, 1.0);
+        addWall(s.points, 3.0, -2.5, 5.0, 4.2, -7.0, 7.0, 0.0, 10.0, 1.0);
         return s;
     }
 

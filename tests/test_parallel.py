@@ -113,6 +113,37 @@ class TestChunkedSolve:
         # found the first solve clean
         assert audit["violations_per_round"][-1] == 0, audit
 
+    def test_audited_solve_injects_unseen_reserve_voxels(self, conf):
+        """A violation on a voxel ABSENT from the solve set must be caught
+        and fixed through the reserve pool (VERDICT r4 weak #6): the solve
+        set contains only far-away clutter, the straight-line route is
+        blocked only by reserve points the solver never saw.  The audit
+        must detect the reserve violation, inject the grazing points into
+        the extra slots, and the re-solve must clear them."""
+        shape = make_shape("Ball", conf)
+        sb = pb.make_random_batch(conf, B=2, N=3, n_points=8,
+                                  dtype=jnp.float64)
+        goals = np.asarray(sb.tail)[:, :, 0]
+        # solve set: push every point far off-route (no constraint at all)
+        pts = np.asarray(sb.points).copy()
+        pts[:, :, :] = goals[:, None, :] + np.array([0.0, 8.0, 8.0])
+        sb = sb._replace(points=jnp.asarray(pts))
+        # reserve pool: a point ON the route per scenario + far filler
+        R = 6
+        rsv = np.tile((goals + np.array([0.0, 9.0, 9.0]))[:, None, :],
+                      (1, R, 1))
+        rsv[:, 0, :] = 0.5 * goals
+        rsv = jnp.asarray(rsv)
+        c, T, f, i, audit = pb.batched_solve_audited(
+            shape, conf, sb, max_iters=12, chunk=4, audit_coarse_n=256,
+            reserve_points=rsv, inject_budget=4)
+        assert audit["violations_per_round"][0] > 0, (
+            "route point must violate the first solve")
+        assert audit["violations_per_round"][-1] == 0, audit
+        # final min-SDF covers the reserve pool — the unseen voxel is now
+        # certified clear
+        assert (audit["min_sdf"] > 0.0).all(), audit
+
     def test_minimize_chunked_rosenbrock(self):
         from isdf_tpu.opt import lbfgs
 

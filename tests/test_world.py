@@ -112,6 +112,41 @@ class TestMapsGen:
         assert not occ[xi, int(30 / 0.5), int(10.0 / 0.5)]
         assert occ[xi, int(30 / 0.5), int(3.0 / 0.5)]
 
+    def test_mockamap_maze2d_connected(self):
+        # the recursive-division carving (ref mockamap maps.cpp:180-498)
+        # must leave the free space fully connected and walled if asked
+        from collections import deque
+
+        rng = np.random.default_rng(5)
+        mx = my = 21
+        maze = np.zeros((mx, my), np.int8)
+        maps_gen._recursive_division(maze, 0, mx - 1, 0, my - 1, rng)
+        free = np.argwhere(maze == 0)
+        assert len(free) > 0 and maze.sum() > mx  # real walls were added
+        seen = {tuple(free[0])}
+        q = deque(seen)
+        while q:
+            x, y = q.popleft()
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                n = (x + dx, y + dy)
+                if 0 <= n[0] < mx and 0 <= n[1] < my and \
+                        maze[n] == 0 and n not in seen:
+                    seen.add(n)
+                    q.append(n)
+        assert len(seen) == len(free), "maze free space disconnected"
+
+        pts = maps_gen.maze2d(size=(40, 40, 12), res=0.5, seed=1)
+        assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 0
+        # full-height extrusion: every occupied column spans all z layers
+        assert np.isclose(pts[:, 2].max(), 12 * 0.5 - 0.25)
+
+    def test_mockamap_maze3d_walls(self):
+        pts = maps_gen.maze3d(size=(24, 24, 12), res=0.5, seed=2,
+                              num_nodes=8)
+        assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 0
+        # walls are bisector surfaces: a thin shell, not a filled volume
+        assert len(pts) < 24 * 24 * 12 * 0.5
+
     def test_triangle_tapers(self):
         tri = maps_gen.gene_triangle(0.0, 0.0, 4.0, 3.0, 6.0, res=0.2)
         base = tri[tri[:, 2] < 0.3]
