@@ -14,10 +14,14 @@ lookup recast as gather-free two-hot algebra:
     A = fieldZ @ wxy → (NzP, B)  z-slab values              (MXU, bf16)
     d = Σ_z A · wz(z, B)  tiny z pick                       (VPU)
 
-Round-4 history (each step measured on TPU v5e, BASELINE.md "round 4
-rebuild"): per-candidate x-slab kernels 0.32M q/s → bf16 0.32M (MXU was
-not the bottleneck) → single launch + broadcast-tent pick 0.63M → Z-major
-pair contraction 0.99M → pooled coarse 1.16M.
+Perf history (each step measured on TPU v5e, BASELINE.md "grid-shape
+sweep"): r4 — per-candidate x-slab kernels 0.32M q/s → bf16 0.32M (MXU
+was not the bottleneck) → single launch + broadcast-tent pick 0.63M →
+Z-major pair contraction 0.99M → pooled coarse 1.16M.  r5 — the kernel is
+MXU-bound on the dense two-hot products, so eval count is the cost:
+seed-pick single deep zoom (replacing the dual full-depth zoom) 1.71M →
+zoom fan-out k=4 (per-round shrink 2/3 instead of 2/7; final window
+(2/3)^12 ≈ 0.008·w0 is still far sub-voxel) 2.51M.
 
 The trajectory pose chain runs in the same (k, B) lanes layout as the
 analytic kernel (pvaj Horner from SMEM + flatness tilt).  The zoom's bf16
@@ -99,8 +103,14 @@ def _make_grid_sweep_kernel(params, coarse_n, rounds, k, N, n_coef,
         ox, oy, oz, inv_res, res = (geo_ref[i] for i in range(5))
         oxc, oyc, ozc, inv_res_c, res_c = (geo_ref[5 + i] for i in range(5))
 
-        ioff = jax.lax.broadcasted_iota(jnp.int32, (k, blk), 0).astype(dtype)
-        offs = ioff * (2.0 / (k - 1)) - 1.0
+        # coarse-scan group size decoupled from the zoom fan-out k: the
+        # scan wants wide groups (fewer pose-chain evaluations per sample),
+        # the zoom wants narrow ones (fewer MXU evals per round)
+        kc = 8
+        ioff_c = jax.lax.broadcasted_iota(
+            jnp.int32, (kc, blk), 0).astype(dtype)
+        offs = jax.lax.broadcasted_iota(
+            jnp.int32, (k, blk), 0).astype(dtype) * (2.0 / (k - 1)) - 1.0
 
         def clampg(g, n):
             return jnp.clip(g, 0.0, (n - 1) - 1e-5)
@@ -191,8 +201,8 @@ def _make_grid_sweep_kernel(params, coarse_n, rounds, k, N, n_coef,
         step = total / (coarse_n - 1)
         dmin = None
         tmin = None
-        for g in range(max(coarse_n // k, 1)):
-            tcol = jnp.clip((ioff + float(g * k)) * step, 0.0, total)
+        for g in range(max(coarse_n // kc, 1)):
+            tcol = jnp.clip((ioff_c + float(g * kc)) * step, 0.0, total)
             d = grid_eval_coarse(tcol)
             if dmin is None:
                 dmin, tmin = d, tcol
@@ -202,27 +212,41 @@ def _make_grid_sweep_kernel(params, coarse_n, rounds, k, N, n_coef,
                 tmin = jnp.where(better, tcol, tmin)
         d0 = dmin[0:1, :]
         t0 = tmin[0:1, :]
-        for i in range(1, k):
+        for i in range(1, kc):
             di = dmin[i:i + 1, :]
             better = di < d0
             t0 = jnp.where(better, tmin[i:i + 1, :], t0)
             d0 = jnp.where(better, di, d0)
 
-        # ---- two zooms (warm seed + coarse argmin), deeper wins ------------
-        def zoom(t, w):
+        # ---- seed pick + ONE deep zoom (round-5 restructure) ---------------
+        # The kernel is MXU-bound on the dense two-hot products (~63%
+        # utilization measured r4), so eval count is the cost.  The r4
+        # dual full-depth zoom spent 2·rounds·k evals; instead: a SHORT
+        # warm pre-zoom (so a meaningful warm basin gets refined before
+        # judging it), one true-field eval of the coarse argmin (its d0 is
+        # a pooled lower bound — not comparable), pick the deeper seed,
+        # then a single full-depth zoom.  (2+rounds)·k + 1 evals ≈ 1.7×
+        # fewer.  The reference itself descends ONCE from a scanned seed
+        # (sw_manager.hpp:677-747), so single-descent is the closer twin.
+        shrink = 2.0 / (k - 1)
+
+        def zoom(t, w, nr):
             dm = None
-            for _ in range(rounds):
+            for _ in range(nr):
                 cand = jnp.clip(t + w * offs, 0.0, total)
                 d = grid_eval(cand)
                 t, dm = _plateau_rows(d, cand, k)
-                w = w * (2.0 / (k - 1))
+                w = w * shrink
             return t, dm
 
+        pre = 2
         tA, dA = zoom(jnp.clip(twarm, 0.0, total),
-                      jnp.full((1, blk), warm_window, dtype))
-        tB, dB = zoom(t0, jnp.full((1, blk), step, dtype))
-        use_a = dA <= dB
-        t_star = jnp.where(use_a, tA, tB)
+                      jnp.full((1, blk), warm_window, dtype), pre)
+        dB0 = grid_eval(t0)
+        use_a = dA <= dB0
+        t_seed = jnp.where(use_a, tA, t0)
+        w_seed = jnp.where(use_a, warm_window * shrink ** pre, step)
+        t_star, _ = zoom(t_seed, w_seed, rounds)
 
         # ---- epilogue: f32-weight value + analytic grad at t* --------------
         gx, gy, gz = grid_coords(t_star)
@@ -331,7 +355,7 @@ def _grid_sweep_callable(grid_dims, grid_dims_c, params, coarse_n, rounds,
 )
 def grid_sweep_warm_fused(grid_dims, grid_dims_c, params, fieldZ, fieldZc,
                           geo, pts, t_warm, starts, durs, coeffs,
-                          coarse_n: int = 64, rounds: int = 12, k: int = 8,
+                          coarse_n: int = 64, rounds: int = 12, k: int = 4,
                           warm_window: float = 0.3,
                           interpret: bool = False):
     """Fused grid warm sweep → (t* (P,), d* (P,), grad_prel (P, 3)).
@@ -348,7 +372,7 @@ def grid_sweep_warm_fused(grid_dims, grid_dims_c, params, fieldZ, fieldZc,
     starts = jax.lax.stop_gradient(starts).astype(jnp.float32)
     durs = jax.lax.stop_gradient(durs).astype(jnp.float32)
     coeffs = jax.lax.stop_gradient(coeffs).astype(jnp.float32)
-    assert coarse_n % k == 0, "coarse_n must be a multiple of k"
+    assert coarse_n % 8 == 0, "coarse_n must be a multiple of 8"
 
     dtype = pts.dtype
     P = pts.shape[0]
@@ -440,3 +464,56 @@ def grid_sweep_inputs(pg):
          1.0 / (2.0 * res), 2.0 * res],
         np.float32)
     return dims, dims_c, fieldZ, fieldZc, geo
+
+
+# --- pooled search grids for fields beyond the VMEM budget -----------------
+# (round 5; VERDICT r4 weak #3: fields >8 MiB used to fall back to the
+# ~0.08M q/s scalarized-gather XLA sweep — below CPU class exactly for the
+# large meshes that need help most)
+
+_POOLED_CACHE = {}
+_POOLED_CACHE_MAX = 4
+
+
+def _zmajor_kernel_bytes(nx, ny, nz):
+    """bf16 bytes the fused kernel holds resident for a (nx,ny,nz) field:
+    the z-major padded field plus its 2x-min-pooled coarse twin."""
+    def one(a, b, c):
+        return -(-c // 8) * 8 * (-(-a // 16) * 16) * (-(-b // 8) * 8) * 2
+    return one(nx, ny, nz) + one(-(-nx // 2), -(-ny // 2), -(-nz // 2))
+
+
+def pooled_grid(pg, budget_bytes):
+    """Min-pool a PaddedGrid 2× per axis repeatedly until the fused
+    kernel's resident z-major inputs fit `budget_bytes`; returns a new
+    PaddedGrid at the pooled resolution.
+
+    Min-pooling is CONSERVATIVE for argmin-t steering (pooled min ≤ true:
+    crossing dips survive, sw_manager.hpp choiceTInit's rough scan makes
+    the same under-resolution trade at rough_dt).  Callers search t* on
+    the pooled field and evaluate value/gradient on the TRUE field (one
+    XLA trilinear eval per query), so only t* carries the pooled bias."""
+    from isdf_tpu.sweep.pallas_grid import pad_grid
+
+    key = (id(pg.field2d), int(budget_bytes))
+    hit = _POOLED_CACHE.get(key)
+    if hit is not None:
+        _POOLED_CACHE.pop(key)
+        _POOLED_CACHE[key] = hit
+        return hit[1]
+    f3 = np.asarray(
+        pg.field2d.reshape(-1, pg.nyp, pg.nzp)[:pg.nx, :pg.ny, :pg.nz])
+    origin = np.asarray(pg.origin, np.float64).copy()
+    res = float(pg.res)
+    while _zmajor_kernel_bytes(*f3.shape) > budget_bytes:
+        pads = [(0, (-n) % 2) for n in f3.shape]
+        fe = np.pad(f3, pads, mode="edge")
+        f3 = fe.reshape(fe.shape[0] // 2, 2, fe.shape[1] // 2, 2,
+                        fe.shape[2] // 2, 2).min(axis=(1, 3, 5))
+        origin = origin + res / 2.0   # pooled cell center of voxels {2i,2i+1}
+        res = 2.0 * res
+    out = pad_grid(f3, origin, res)
+    while len(_POOLED_CACHE) >= _POOLED_CACHE_MAX:
+        _POOLED_CACHE.pop(next(iter(_POOLED_CACHE)))
+    _POOLED_CACHE[key] = (pg.field2d, out)   # pin source: id() stays valid
+    return out
