@@ -181,13 +181,14 @@ def pose_components(pos, vel, acc, params):
     zux = ax + k * w_term * vx
     zuy = ay + k * w_term * vy
     zuz = az + k * w_term * vz + p.grav
-    zn = jnp.sqrt(zux * zux + zuy * zuy + zuz * zuz)
-    zx, zy, zz = zux / zn, zuy / zn, zuz / zn
+    izn = jax.lax.rsqrt(zux * zux + zuy * zuy + zuz * zuz)
+    zx, zy, zz = zux * izn, zuy * izn, zuz * izn
 
-    td = jnp.sqrt(2.0 * (1.0 + zz))
-    qw = 0.5 * td
-    qx = -zy / td
-    qy = zx / td
+    td2 = 2.0 * (1.0 + zz)
+    itd = jax.lax.rsqrt(td2)
+    qw = 0.5 * td2 * itd
+    qx = -zy * itd
+    qy = zx * itd
     # quat_to_rot with qz = 0 (so3.quat_to_rot's exact expressions)
     ww, xx, yy = qw * qw, qx * qx, qy * qy
     xy2, wx2, wy2 = 2 * qx * qy, 2 * qw * qx, 2 * qw * qy
