@@ -261,7 +261,9 @@ def main():
     # wall/S is the on-device solve time with the tunnel's completion-
     # detection overhead amortized to nothing (VERDICT r4 next #4: the
     # "23.3 ms device" claim must be a measured field, not prose)
-    S = 8
+    # S=16: the scan carries ~2 ms/solve of fixed overhead at S=8
+    # (measured scratch/probe_p50_tpu.py: 32.2 ms at S=8 vs 30.3 at S=16)
+    S = 16
     xs_dev = jnp.stack([x1] * S) + 1e-3 * jnp.arange(S, dtype=dtype)[:, None]
     tws_dev = jnp.zeros((S, n_pts), dtype)
 

@@ -12,6 +12,15 @@ JS polls ``/state.json`` a few times a second and draws
   * the drone pose trail + heading, and
   * a live metrics strip (t, speed, min body-SDF, replan wall time).
 
+Clicking either canvas posts a new goal back to the producer — the
+``rviz_plugins`` *3D Nav Goal* affordance (ref src/common/rviz_plugins:
+click-to-set-goal was the reference's primary input device): the click's
+canvas position is inverse-projected to world x–y (top view) or x–z (side
+view), the missing coordinate is kept from the current goal, and the
+result is POSTed to ``/goal``.  Consumers either pass ``on_goal=`` (push:
+called from the server thread, e.g. to enqueue a replan) or poll
+:meth:`poll_goal` in their flight loop.
+
 Producers (``plan.closed_loop.fly_closed_loop``, ``plan.traj_server``
 users, or any loop) call :meth:`LiveFlightView.update` with the current
 state; the page picks it up on its next poll.  Everything is in-memory —
@@ -52,7 +61,8 @@ _PAGE = """<!doctype html>
 <script>
 const cv = {xy:[0,1], xz:[0,2]};
 let scene = null;
-function fit(pts, axes, W, H) {
+let lastT = {};   // per-canvas projection, kept for click inversion
+function fit(pts, axes, W, H, id) {
   let lo=[1e9,1e9], hi=[-1e9,-1e9];
   for (const p of pts) { for (let d=0; d<2; d++) {
     const v = p[axes[d]];
@@ -61,16 +71,34 @@ function fit(pts, axes, W, H) {
   const sx = W*(1-2*pad)/Math.max(hi[0]-lo[0],1e-6);
   const sy = H*(1-2*pad)/Math.max(hi[1]-lo[1],1e-6);
   const s = Math.min(sx, sy);
+  lastT[id] = {lo:lo, s:s, W:W, H:H, pad:pad, axes:axes};
   return p => [W*pad + (p[axes[0]]-lo[0])*s,
                H*(1-pad) - (p[axes[1]]-lo[1])*s];
 }
+function clickGoal(id, ev) {
+  const t = lastT[id];
+  if (!t || !scene) return;
+  const r = ev.target.getBoundingClientRect();
+  const u = ev.clientX - r.left, v = ev.clientY - r.top;
+  const a = t.lo[0] + (u - t.W*t.pad)/t.s;
+  const b = t.lo[1] + (t.H*(1-t.pad) - v)/t.s;
+  let g = (scene.goal || [0,0,0]).slice();
+  g[t.axes[0]] = a; g[t.axes[1]] = b;
+  scene.goal = g;   // immediate marker feedback
+  fetch("goal", {method:"POST", body:JSON.stringify(g)});
+}
+document.addEventListener("DOMContentLoaded", () => {
+  for (const id of ["xy","xz"])
+    document.getElementById(id).addEventListener(
+      "click", ev => clickGoal(id, ev));
+});
 function draw(state) {
   if (!scene) return;
   for (const id of ["xy","xz"]) {
     const c = document.getElementById(id), g = c.getContext("2d");
     g.clearRect(0,0,c.width,c.height);
     const all = scene.points.concat(state.trail || [], [scene.goal || [0,0,0]]);
-    const T = fit(all, cv[id], c.width, c.height);
+    const T = fit(all, cv[id], c.width, c.height, id);
     g.fillStyle = "#3d495c";
     for (const p of scene.points) { const q=T(p); g.fillRect(q[0],q[1],2,2); }
     if (scene.goal) { const q=T(scene.goal);
@@ -107,12 +135,15 @@ class LiveFlightView:
     """Localhost live flight viewer; see module docstring."""
 
     def __init__(self, port: int = 0, trail_len: int = 2000,
-                 max_scene_points: int = 20000, quiet: bool = False):
+                 max_scene_points: int = 20000, quiet: bool = False,
+                 on_goal=None):
         self._lock = threading.Lock()
         self._scene = {"points": [], "goal": None}
         self._state = {"trail": [], "plan": [], "metrics": {}}
         self._trail_len = trail_len
         self._max_pts = max_scene_points
+        self._on_goal = on_goal
+        self._clicked_goal = None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -136,6 +167,30 @@ class LiveFlightView:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802 — the 3D-Nav-Goal channel
+                if self.path != "/goal":
+                    self.send_error(404)
+                    return
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    goal = [float(v) for v in json.loads(self.rfile.read(n))]
+                    assert len(goal) == 3
+                except Exception:
+                    self.send_error(400)
+                    return
+                with outer._lock:
+                    outer._clicked_goal = goal
+                    outer._scene["goal"] = [round(v, 3) for v in goal]
+                cb = outer._on_goal
+                if cb is not None:   # before the response: the sender may
+                    try:             # act on the ack (no post-ack race)
+                        cb(np.asarray(goal))
+                    except Exception:
+                        pass  # a failing consumer must not kill the server
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
 
             def log_message(self, *a):  # silence per-request stderr noise
                 pass
@@ -182,6 +237,15 @@ class LiveFlightView:
                 m[k] = float(v) if isinstance(v, (int, float, np.floating)) \
                     else v
             self._state["metrics"] = m
+
+    def poll_goal(self):
+        """Return-and-clear the most recent clicked goal ((3,) ndarray or
+        None) — the pull-style twin of the on_goal callback, for flight
+        loops that check for operator input once per tick."""
+        with self._lock:
+            g = self._clicked_goal
+            self._clicked_goal = None
+        return None if g is None else np.asarray(g)
 
     def close(self):
         self._httpd.shutdown()

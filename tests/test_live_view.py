@@ -59,3 +59,40 @@ class TestLiveFlightView:
             assert state["trail"][-1][0] == 49.0
         finally:
             view.close()
+
+
+class TestClickToGoal:
+    def test_goal_post_roundtrip(self):
+        """POST /goal (the 3D-Nav-Goal channel) must update the scene
+        marker, fire the on_goal callback, and surface through
+        poll_goal exactly once."""
+        import json
+        import urllib.request
+
+        from isdf_tpu.viz.live_view import LiveFlightView
+
+        got = []
+        view = LiveFlightView(quiet=True, on_goal=lambda g: got.append(g))
+        try:
+            req = urllib.request.Request(
+                view.url + "goal", data=json.dumps([1.5, -2.0, 3.25]).encode(),
+                method="POST")
+            assert urllib.request.urlopen(req).status == 204
+            g = view.poll_goal()
+            assert g is not None and np.allclose(g, [1.5, -2.0, 3.25])
+            assert view.poll_goal() is None          # cleared after read
+            assert len(got) == 1 and np.allclose(got[0], [1.5, -2.0, 3.25])
+            scene = json.loads(urllib.request.urlopen(
+                view.url + "scene.json").read())
+            assert scene["goal"] == [1.5, -2.0, 3.25]
+            # malformed goal → 400, server stays alive
+            bad = urllib.request.Request(
+                view.url + "goal", data=b"nope", method="POST")
+            try:
+                urllib.request.urlopen(bad)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            assert urllib.request.urlopen(view.url).status == 200
+        finally:
+            view.close()
