@@ -462,7 +462,12 @@ class TestBackendSolveParity:
         ratio = np.linalg.norm(g_my) / np.linalg.norm(g_ref)
         assert 0.999 < ratio < 1.001, ratio
 
-    def test_full_solve_banded(self, scenario):
+    @pytest.mark.parametrize("method", ["lbfgs", "lmbm"])
+    def test_full_solve_banded(self, scenario, method):
+        # "lmbm" is the repo's bundle-method twin of the reference's actual
+        # outer solver (the same family the golden was produced with);
+        # "lbfgs" is the reference's declared-interchangeable variant
+        # (back_end_optimizer.hpp:730).  Both must land in the band.
         from isdf_tpu.core import timemap
         from isdf_tpu.opt import backend
         from isdf_tpu.shapes import make_shape
@@ -475,7 +480,7 @@ class TestBackendSolveParity:
         traj, res = backend.optimize(
             shape, conf, head, tail, q0, timemap.tau_to_T(tau0),
             points, jnp.ones(points.shape[0], bool),
-            max_iters=80, params=params,
+            max_iters=80, params=params, method=method,
         )
         # BASELINE band: final cost within [0.6, 1.67]× the reference's
         ratio = float(res.f) / g["final_cost"]
