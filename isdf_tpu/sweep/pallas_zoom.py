@@ -143,6 +143,27 @@ def _plateau_rows(d, cand, k: int, tie_eps: float = 1e-4):
     return tsum / wsum, dmin
 
 
+def _argmin_rows(d, cand, k: int):
+    """Pairwise-tournament argmin over candidate rows — no plateau
+    handling.  NOT used in the zoom loops: swapping it in for intermediate
+    rounds measured +16.6% sweep throughput but broke gradient parity on
+    CSG shapes (17% of points pick the wrong side of a min/max seam once
+    the window has collapsed past the plateau — the final-round centering
+    cannot recover what mid-zoom rounds discarded).  Kept for callers that
+    genuinely only need a cheap minimum, with this warning attached."""
+    rows = [(d[i:i + 1, :], cand[i:i + 1, :]) for i in range(k)]
+    while len(rows) > 1:
+        nxt = []
+        rest = rows[1:] if len(rows) % 2 else rows
+        carry = [] if len(rows) % 2 == 0 else [rows[0]]
+        for a, b in zip(rest[::2], rest[1::2]):
+            better = b[0] < a[0]
+            nxt.append((jnp.minimum(a[0], b[0]),
+                        jnp.where(better, b[1], a[1])))
+        rows = carry + nxt
+    return rows[0][1], rows[0][0]
+
+
 def _make_kernel(shape, params, rounds: int, k: int, N: int, n_coef: int):
     sdf3 = shape.sdf3_fn()
 
