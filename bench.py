@@ -127,12 +127,13 @@ def main():
         lambda t: sdf_at_time_c(shape, traj, params, (one, one, one), t), one)
     prel3 = (one, one, one)
     flops_sdf = count_flops(lambda a, b, c: shape.sdf3_fn()(a, b, c), *prel3)
-    # per query: coarse scan (rel+sdf per step) + 2 zooms (full eval per
-    # candidate) + branch-pick/final eval + gradient (≈3× sdf via reverse).
+    # per query: coarse scan (rel+sdf per step) + warm pre-zoom (2 rounds)
+    # + seed-pick eval + ONE deep zoom (round-5 restructure,
+    # pallas_zoom._make_sweep_kernel) + gradient (≈3× sdf via reverse).
     k, rounds = 8, conf.sweep_refine_rounds
     flops_query = (
         conf.sweep_coarse_samples * (15 + flops_sdf)
-        + 2 * rounds * k * flops_eval
+        + (2 + rounds) * k * flops_eval
         + 2 * flops_eval
         + (flops_eval + 3 * flops_sdf)
     )
